@@ -1,0 +1,69 @@
+"""HTML→text extraction: the engine's "decode" stage.
+
+The reference decodes video frames and resizes/normalizes them inside its
+dataset (reference/datasets/videoset.py:66-139) — an opaque per-record
+transform that is the single unavoidable non-relational step. Here the
+analog is HTML→text over a ``binary`` column, and the north rule demands
+(a) byte-identical output vs a single-process oracle and (b) no per-row
+Python *serialization* on the hot path.
+
+Both are satisfied by defining the extraction ONCE as a pure function of
+``bytes`` (:func:`extract_text`, the oracle) and shipping it through an
+Arrow-batched pandas UDF (:func:`extract_text_udf`): batches cross the
+JVM↔Python boundary as columnar Arrow buffers, and the Python work per
+batch is a compiled-regex pipeline. Identical code path ⇒ byte-identical
+parity by construction (tested in tests/test_extraction.py).
+
+Extraction semantics (deterministic, version-pinned to stdlib ``re``):
+
+1. decode UTF-8 with ``errors="replace"`` (malformed bytes → U+FFFD);
+2. drop ``<script>``/``<style>`` elements and HTML comments;
+3. every remaining tag → one space;
+4. unescape the fixed entity set ``&lt; &gt; &quot; &#39; &nbsp;`` then
+   ``&amp;`` last (so ``&amp;lt;`` round-trips as the literal ``&lt;``);
+5. collapse whitespace runs to single spaces, strip ends.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(rb"(?is)<script\b[^>]*>.*?</script\s*>")
+_STYLE_RE = re.compile(rb"(?is)<style\b[^>]*>.*?</style\s*>")
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
+_TAG_RE = re.compile(rb"<[^>]*>|<[^>]*$")  # incl. unterminated trailing tag
+_WS_RE = re.compile(r"\s+")
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html: bytes | bytearray | None) -> str | None:
+    """Pure-Python oracle extractor — the parity reference for the UDF."""
+    if html is None:
+        return None
+    b = bytes(html)
+    b = _SCRIPT_RE.sub(b" ", b)
+    b = _STYLE_RE.sub(b" ", b)
+    b = _COMMENT_RE.sub(b" ", b)
+    b = _TAG_RE.sub(b" ", b)
+    s = b.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RE.sub(" ", s).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction over ``html: binary``. Same code as the
+    oracle, applied per Arrow batch."""
+    return html.map(extract_text)

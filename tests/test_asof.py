@@ -1,0 +1,107 @@
+"""As-of join unit semantics (SURVEY.md §5 test #4): exact matches,
+strict inequality, tolerance, missing history, duplicate timestamps,
+inner mode."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T01:00:00"), 1),
+            ("a", _ts("2024-01-01T02:00:00"), 2),
+            ("a", _ts("2024-01-01T03:00:00"), 3),
+            ("b", _ts("2024-01-01T01:00:00"), 4),  # no right history at all
+        ],
+        schema="k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:30:00"), 10),
+            ("a", _ts("2024-01-01T02:00:00"), 20),  # exact-ts collision with lid=2
+        ],
+        schema="k string, ts timestamp, rv int",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {r["lid"]: (r["rv"], r["matched_ts"]) for r in df.collect()}
+
+
+def test_exact_matches_included(sides):
+    left, right = sides
+    out = _collect(asof_join(left, right, on="ts", by=("k",), right_cols=["rv"]))
+    assert out[1] == (10, _ts("2024-01-01T00:30:00"))
+    assert out[2] == (20, _ts("2024-01-01T02:00:00"))  # equal ts visible
+    assert out[3] == (20, _ts("2024-01-01T02:00:00"))
+    assert out[4] == (None, None)  # left join keeps unmatched
+
+
+def test_strict_excludes_equal_ts(sides):
+    left, right = sides
+    out = _collect(
+        asof_join(left, right, on="ts", by=("k",), right_cols=["rv"], allow_exact_matches=False)
+    )
+    assert out[2] == (10, _ts("2024-01-01T00:30:00"))  # equal ts invisible
+    assert out[3] == (20, _ts("2024-01-01T02:00:00"))
+
+
+def test_tolerance(sides):
+    left, right = sides
+    out = _collect(
+        asof_join(left, right, on="ts", by=("k",), right_cols=["rv"], tolerance_seconds=3600)
+    )
+    assert out[1] == (10, _ts("2024-01-01T00:30:00"))  # 30min old: ok
+    assert out[3] == (20, _ts("2024-01-01T02:00:00"))  # 60min: boundary ok
+    out2 = _collect(
+        asof_join(left, right, on="ts", by=("k",), right_cols=["rv"], tolerance_seconds=1000)
+    )
+    assert out2[1] == (None, None)  # 1800s > 1000s: nulled
+
+
+def test_inner(sides):
+    left, right = sides
+    out = asof_join(left, right, on="ts", by=("k",), right_cols=["rv"], how="inner")
+    assert sorted(r["lid"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01T05:00:00"), 1)], schema="k string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T04:00:00"), 7),
+            ("a", _ts("2024-01-01T04:00:00"), 9),
+        ],
+        schema="k string, ts timestamp, rv int",
+    )
+    for _ in range(3):  # deterministic across runs
+        out = _collect(asof_join(left, right, on="ts", by=("k",), right_cols=["rv"]))
+        assert out[1] == (9, _ts("2024-01-01T04:00:00"))  # max payload wins
+
+
+def test_column_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01T05:00:00"), 1.0)], schema="k string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T04:00:00"), 2.0)], schema="k string, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="ts", by=("k",), right_cols=["v"])
+    assert "v_right" in out.columns
+    row = out.collect()[0]
+    assert row["v"] == 1.0 and row["v_right"] == 2.0

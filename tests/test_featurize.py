@@ -1,0 +1,85 @@
+"""Feature-vector parity (allclose) + leakage audit for the flagship
+pages pipeline (SURVEY.md §5 tests #2 and #3): the Spark plan vs a
+literal pandas/NumPy oracle sharing the window/resample definitions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from slowfast_feature_extractor_spark.functions.extraction import extract_text
+from slowfast_feature_extractor_spark.functions.vector import resample_to_k_np
+from slowfast_feature_extractor_spark.plans.featurize import featurize_pages
+
+FAST_ROWS, SLOW_ROWS, FAST_LEN, SLOW_LEN = 32, 64, 32, 8
+
+
+def _oracle(pages_pd: pd.DataFrame) -> dict:
+    """Single-process oracle: literal trailing-window + resample + as-of
+    semantics (the reference's W2/W3/W5/A1/A2 re-expressed)."""
+    out = {}
+    df = pages_pd.copy()
+    df["text"] = df["html"].map(extract_text)
+    df["measure"] = df["text"].str.len().astype(float)
+    for url, g in df.sort_values(["url", "warc_ts"]).groupby("url"):
+        vals = g["measure"].tolist()
+        tss = g["warc_ts"].tolist()
+        # slow anchors: first snapshot of each (url, day)
+        anchors = []  # (ts, slow_vec)
+        seen_days = set()
+        for pos, ts in enumerate(tss):
+            day = ts.date()
+            if day not in seen_days:
+                seen_days.add(day)
+                hist = vals[max(0, pos - SLOW_ROWS):pos]
+                anchors.append((ts, resample_to_k_np(hist, SLOW_LEN)))
+        for pos, ts in enumerate(tss):
+            fast = resample_to_k_np(vals[max(0, pos - FAST_ROWS):pos], FAST_LEN)
+            slow = np.zeros(SLOW_LEN)
+            for ats, avec in anchors:
+                if ats <= ts:
+                    slow = avec
+                else:
+                    break
+            out[(url, ts)] = (slow, fast, np.concatenate([slow, fast]), pos)
+    return out
+
+
+@pytest.fixture(scope="module")
+def features(spark, pages_df):
+    return featurize_pages(
+        pages_df, fast_rows=FAST_ROWS, slow_rows=SLOW_ROWS,
+        fast_len=FAST_LEN, slow_len=SLOW_LEN,
+    ).toPandas()
+
+
+def test_feature_vectors_allclose(features, pages_pd):
+    want = _oracle(pages_pd)
+    assert len(features) == len(pages_pd)
+    for _, r in features.iterrows():
+        key = (r["url"], r["warc_ts"].to_pydatetime())
+        slow, fast, fused, n_hist = want[key]
+        np.testing.assert_allclose(np.array(r["slow_vec"]), slow, atol=1e-9, err_msg=str(key))
+        np.testing.assert_allclose(np.array(r["fast_vec"]), fast, atol=1e-9, err_msg=str(key))
+        np.testing.assert_allclose(np.array(r["fused_vec"]), fused, atol=1e-9, err_msg=str(key))
+        assert r["n_hist_rows"] == n_hist
+
+
+def test_zero_leakage(features):
+    """max contributing input ts must be strictly earlier than the row ts
+    (north rule). Rows with no history have a null bound."""
+    with_hist = features[features["n_hist_rows"] > 0]
+    assert len(with_hist) > 0
+    assert (with_hist["max_input_ts"] < with_hist["warc_ts"]).all()
+    no_hist = features[features["n_hist_rows"] == 0]
+    assert no_hist["max_input_ts"].isna().all()
+    # fused = slow ‖ fast layout
+    row = features.iloc[0]
+    assert len(row["fused_vec"]) == SLOW_LEN + FAST_LEN
+
+
+def test_first_row_zero_padded(features):
+    first = features.sort_values(["url", "warc_ts"]).groupby("url").head(1)
+    for _, r in first.iterrows():
+        assert list(r["fast_vec"]) == [0.0] * FAST_LEN  # no history → zeros

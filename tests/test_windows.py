@@ -1,0 +1,82 @@
+"""Window operator semantics vs a literal pandas oracle: strict trailing
+frames, boundary nulls, backfill, lag/lead."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from slowfast_feature_extractor_spark.operators.windows import (
+    backfill,
+    dual_rate_features,
+    lag_lead,
+    windowed_vector,
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for e in ("x", "y"):
+        for i in range(12):
+            rows.append((e, t0 + timedelta(hours=i), float((i + 1) * (2 if e == "y" else 1))))
+    return spark.createDataFrame(rows, schema="url string, warc_ts timestamp, value double")
+
+
+def test_dual_rate_strict_matches_pandas(spark, series_df):
+    got = (
+        dual_rate_features(series_df, fast_rows=3, slow_rows=6, strict=True)
+        .toPandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+    pdf = series_df.toPandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    for _, g in pdf.groupby("url"):
+        vals = g["value"].tolist()
+        for pos, (idx, row) in enumerate(g.iterrows()):
+            fast = vals[max(0, pos - 3):pos]
+            slow = vals[max(0, pos - 6):pos]
+            r = got[(got.url == row.url) & (got.warc_ts == row.warc_ts)].iloc[0]
+            assert r.fast_cnt == len(fast) and r.slow_cnt == len(slow)
+            if fast:
+                assert r.fast_avg == pytest.approx(sum(fast) / len(fast))
+                assert r.fast_min == min(fast) and r.fast_max == max(fast)
+            else:
+                assert pd.isna(r.fast_avg)
+            assert r.n_hist_rows == pos
+            if pos == 0:
+                assert pd.isna(r.max_input_ts)
+            else:
+                # leakage audit: contributing rows strictly earlier
+                assert r.max_input_ts < row.warc_ts
+
+
+def test_windowed_vector_order_and_strictness(spark, series_df):
+    got = windowed_vector(series_df, rows=4, strict=True, out_col="v").toPandas()
+    g = got[got.url == "x"].sort_values("warc_ts").reset_index(drop=True)
+    assert list(g.loc[0, "v"]) == []  # no history
+    assert list(g.loc[1, "v"]) == [1.0]
+    assert list(g.loc[5, "v"]) == [2.0, 3.0, 4.0, 5.0]  # oldest→newest, excludes self
+
+
+def test_backfill_and_lag_lead(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0), None),
+        ("a", datetime(2024, 1, 1, 1), 5.0),
+        ("a", datetime(2024, 1, 1, 2), None),
+        ("a", datetime(2024, 1, 1, 3), None),
+        ("a", datetime(2024, 1, 1, 4), 7.0),
+    ]
+    df = spark.createDataFrame(rows, schema="url string, warc_ts timestamp, value double")
+    f = backfill(df).toPandas().sort_values("warc_ts")["value_filled"].tolist()
+    assert f[0] is None or pd.isna(f[0])
+    assert f[1:] == [5.0, 5.0, 5.0, 7.0]
+
+    ll = lag_lead(df).toPandas().sort_values("warc_ts")
+    assert pd.isna(ll.iloc[0]["lag_value_1"])
+    assert ll.iloc[2]["lag_value_1"] == 5.0
+    assert ll.iloc[3]["lead_value_1"] == 7.0
+    assert pd.isna(ll.iloc[4]["lead_value_1"])
