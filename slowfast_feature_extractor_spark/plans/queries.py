@@ -651,6 +651,237 @@ FROM t
 """
 
 
+# ---------------------------------------------------- dedup / similarity
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS shingle
+  FROM (SELECT doc_id AS id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
+"""
+
+_VERIFY_SQL = """
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON c.id_a = a.id JOIN sh b ON c.id_b = b.id
+  WHERE a.shingle = b.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i2.id_a, i2.id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter i2 JOIN sizes sa ON i2.id_a = sa.id JOIN sizes sb ON i2.id_b = sb.id
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {thr}
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (word 3-grams, j >= 0.2)."""
+    return DD.jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_SHINGLE_CTE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.2)}
+"""
+
+_N_MINHASH, _N_BANDS = 8, 4
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: banded signature collisions verified with
+    exact Jaccard >= 0.2."""
+    return DD.minhash_lsh_dedup(
+        _docs(spark, sf_dir), num_hashes=_N_MINHASH, bands=_N_BANDS, threshold=0.2
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(_N_MINHASH)
+    )
+    rows = _N_MINHASH // _N_BANDS
+    band_selects = []
+    for b in range(_N_BANDS):
+        parts = " , '|', ".join(f"mh{b * rows + r}" for r in range(rows)).replace(
+            " , ", ", "
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, md5(concat({parts})) AS bucket FROM mh"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+mh AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+buckets AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b USING (band, bucket) WHERE a.id < b.id
+),
+{_VERIFY_SQL.format(thr=0.2)}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures per document."""
+    return DD.simhash16(_docs(spark, sf_dir))
+
+
+def _simhash_cte() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    v = " + ".join(
+        f"{digit.format(p=p)} * {16 ** (4 - p)}" for p in range(1, 5)
+    )
+    votes = ", ".join(
+        f"sum(((v >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+    )
+    sig = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+  FROM documents
+),
+hv AS (SELECT id, {v} AS v FROM (SELECT id, md5(tok) AS h FROM toks)),
+votes AS (SELECT id, {votes} FROM hv GROUP BY id),
+sig AS (SELECT id, {sig} AS simhash FROM votes)
+"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_cte()} SELECT id, simhash FROM sig"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 1 over the 16-bit
+    signatures."""
+    return DD.simhash_pairs(DD.simhash16(_docs(spark, sf_dir)), max_hamming=1)
+
+
+def _simhash_pairs_oracle() -> str:
+    pop = " + ".join(f"((x >> {j}) & 1)" for j in range(16))
+    return f"""
+WITH {_simhash_cte()},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, xor(a.simhash, b.simhash) AS x
+  FROM sig a, sig b WHERE a.id < b.id
+)
+SELECT id_a, id_b, {pop} AS hamming FROM pairs WHERE {pop} <= 1
+"""
+
+
+_EMB_DOUBLE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4, exact all-pairs)."""
+    return SIM.embedding_neardup(_emb(spark, sf_dir), threshold=0.4)
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH e AS ({_EMB_DOUBLE})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors."""
+    return SIM.knn_bruteforce(_emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5)
+
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH e AS ({_EMB_DOUBLE}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+_LSH_BITS = 4
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 (scale path of knn_bruteforce)."""
+    return SIM.knn_lsh(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5, bits=_LSH_BITS
+    )
+
+
+def _knn_lsh_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN v[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_LSH_BITS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: docs text as opaque bytes → mapInPandas
+    metadata + deterministic fake feature (decode stubs documented in
+    operators/multimodal.py)."""
+    from slowfast_feature_extractor_spark.operators.multimodal import media_meta
+
+    d = _docs(spark, sf_dir).withColumn("media", F.encode(F.col("text"), "utf-8"))
+    return media_meta(d, media_col="media", id_col="doc_id")
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
+       CAST(strlen(text) * 1 % 97 AS DOUBLE) AS f1,
+       CAST(strlen(text) * 2 % 97 AS DOUBLE) AS f2,
+       CAST(strlen(text) * 3 % 97 AS DOUBLE) AS f3,
+       CAST(strlen(text) * 4 % 97 AS DOUBLE) AS f4
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
@@ -674,6 +905,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "langid": (q_langid, _langid_oracle()),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
+    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
+    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
+    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
 }
 
 

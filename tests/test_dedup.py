@@ -1,0 +1,61 @@
+"""Dedup operator semantics on crafted documents with known duplicate
+structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from slowfast_feature_extractor_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat tonight"),  # near dup of 1
+    (4, "completely different words about spark window functions here"),
+    (5, "xy"),  # < 3 tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, schema="doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 2  # 1 and 2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    # docs 1 vs 3: 10 tokens, 8 shingles each; dog/cat (token 9) appears
+    # in 2 shingles -> 6 shared / 10 union
+    assert pairs[(1, 3)] == pytest.approx(6 / 10, abs=1e-6)
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           DD.minhash_lsh_dedup(docs, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0  # exact dup always collides in every band
+    # candidates never include shingle-less docs
+    assert not any(5 in p for p in out)
+
+
+def test_minhash_candidates_superset_check(docs):
+    sigs = DD.minhash_signatures(docs)
+    rows = {r["id"]: [r[f"mh{i}"] for i in range(8)] for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs -> identical signatures
+    assert len(rows) == 4  # doc 5 has no shingles
+
+
+def test_simhash(docs):
+    sh = {r["id"]: r["simhash"] for r in DD.simhash16(docs).collect()}
+    assert sh[1] == sh[2]  # identical token sets
+    assert 0 <= sh[1] < 2**16
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             DD.simhash_pairs(DD.simhash16(docs), max_hamming=0).collect()}
+    assert pairs[(1, 2)] == 0

@@ -1,0 +1,70 @@
+"""Exact-resume semantics (SURVEY.md §5 test #5): kill after k buckets,
+resume, outputs equal an uninterrupted run; completed work never
+re-runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.operators.resume import (
+    ledger_read,
+    read_output,
+    run_with_checkpoint,
+)
+from slowfast_feature_extractor_spark.plans.featurize import salted_buckets
+
+
+def _inputs(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    return salted_buckets(ev, key="user_id", buckets=8)
+
+
+def _compute(part):
+    return part.groupBy("bucket", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+
+
+def _rows(spark, out_dir):
+    return sorted(
+        (r["bucket"], r["user_id"], r["n"], round(r["s"], 6))
+        for r in read_output(spark, out_dir).collect()
+    )
+
+
+def test_kill_and_resume_byte_equal(spark, tmp_path):
+    df = _inputs(spark)
+    full_out, full_led = str(tmp_path / "full"), str(tmp_path / "full_led")
+    n_buckets = df.select("bucket").distinct().count()
+    r = run_with_checkpoint(df, full_out, full_led, compute_fn=_compute)
+    assert len(r["processed"]) == n_buckets and not r["skipped"]
+
+    # interrupted run: only 3 buckets, then "killed"
+    part_out, part_led = str(tmp_path / "part"), str(tmp_path / "part_led")
+    r1 = run_with_checkpoint(df, part_out, part_led, compute_fn=_compute, max_buckets=3)
+    assert len(r1["processed"]) == 3
+    # resume: finishes the rest, re-processes nothing committed
+    r2 = run_with_checkpoint(df, part_out, part_led, compute_fn=_compute)
+    assert sorted(r1["processed"] + r2["processed"]) == r["processed"]
+    assert r2["skipped"] == r1["processed"]
+    assert _rows(spark, part_out) == _rows(spark, full_out)
+
+
+def test_completed_run_is_noop(spark, tmp_path):
+    df = _inputs(spark)
+    out, led = str(tmp_path / "o"), str(tmp_path / "l")
+    run_with_checkpoint(df, out, led, compute_fn=_compute)
+    r = run_with_checkpoint(df, out, led, compute_fn=_compute)
+    assert not r["processed"]
+    assert len(r["skipped"]) == df.select("bucket").distinct().count()
+
+
+def test_ledger_metrics(spark, tmp_path):
+    df = _inputs(spark)
+    out, led = str(tmp_path / "o"), str(tmp_path / "l")
+    run_with_checkpoint(df, out, led, compute_fn=_compute, batch_id="b7")
+    recs = ledger_read(spark, led)
+    assert set(recs) == {r[0] for r in df.select("bucket").distinct().collect()}
+    total = sum(rec["n_rows"] for rec in recs.values())
+    assert total == read_output(spark, out).count()
+    assert all(rec["batch_id"] == "b7" and rec["wall_ms"] >= 0 for rec in recs.values())
