@@ -59,6 +59,19 @@ BENCH_QUERIES = [
 PAGES_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "pages")
 PAGES_KNOBS = dict(n_hosts=120, paths_per_host=10, base_revisits=12, seed=42)
 
+# Scaling runs need work that is throughput-bound, not latency-bound: a
+# 0.4-second query is all fixed overhead and shows no core scaling. The
+# scaling suite therefore runs over large Spark-generated synthetic
+# inputs (sources/synth.py), materialized to parquet once (untimed) so
+# both parallelism levels read identical files.
+SYNTH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "synth")
+SYNTH_SPECS = {
+    "pages": dict(n_urls=50_000, revisits=20),            # 1M rows, ~1GB html
+    "events": dict(n_users=20_000, events_per_user=100),  # 2M rows
+    "embeddings": dict(n=8_000, dim=64),                  # 32M candidate pairs
+    "docs": dict(n_urls=100_000, revisits=1),             # 100k documents
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -68,19 +81,19 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _pages_parquet(spark) -> str:
-    if not os.path.isdir(PAGES_CACHE):
+def _pages_parquet(spark, cache: str = PAGES_CACHE, knobs: dict | None = None) -> str:
+    if not os.path.isdir(cache):
         from slowfast_feature_extractor_spark.sources.pages import (
             gen_pages,
             pages_spark_schema,
         )
 
-        log("generating pages bench fixture ...")
-        pdf = gen_pages(**PAGES_KNOBS)
+        log(f"generating pages bench fixture at {cache} ...")
+        pdf = gen_pages(**(knobs or PAGES_KNOBS))
         spark.createDataFrame(pdf, schema=pages_spark_schema()).repartition(
-            32
-        ).write.mode("overwrite").parquet(PAGES_CACHE)
-    return PAGES_CACHE
+            64
+        ).write.mode("overwrite").parquet(cache)
+    return cache
 
 
 def run_suite(sf_dir: str, cpus: int) -> dict:
@@ -120,53 +133,138 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _synth_inputs(spark) -> dict[str, str]:
+    """Generate-and-cache the large synthetic inputs (untimed)."""
+    from slowfast_feature_extractor_spark.sources import synth
+
+    paths = {}
+    from pyspark.sql import functions as F
+
+    for name, kwargs in SYNTH_SPECS.items():
+        path = os.path.join(SYNTH_DIR, name)
+        if not os.path.isdir(path):
+            log(f"materializing synth input {name} {kwargs} ...")
+            if name == "docs":
+                df = synth.synth_pages(spark, **kwargs).select(
+                    F.xxhash64("url").alias("doc_id"),
+                    F.decode("html", "utf-8").alias("text"),
+                )
+            else:
+                df = getattr(synth, f"synth_{name}")(spark, **kwargs)
+            df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+    return paths
+
+
+def scaling_workloads(spark, paths: dict[str, str]) -> dict[str, object]:
+    """Throughput-bound workloads over the synthetic inputs — the same
+    operators the registry exposes, at a scale where cores matter."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.dedup import minhash_lsh_dedup
+    from slowfast_feature_extractor_spark.operators.sessionize import (
+        session_features,
+        sessionize,
+    )
+    from slowfast_feature_extractor_spark.operators.similarity import embedding_neardup_blocked
+    from slowfast_feature_extractor_spark.plans.featurize import pit_dual_rate_from
+
+    pages = spark.read.parquet(paths["pages"])
+    events = spark.read.parquet(paths["events"])
+    emb = spark.read.parquet(paths["embeddings"])
+    docs = spark.read.parquet(paths["docs"])
+    return {
+        "featurize_pages_1m": lambda: featurize_pages(pages),
+        "pit_dual_rate_2m": lambda: pit_dual_rate_from(events),
+        "sessionize_2m": lambda: session_features(
+            sessionize(events, entity="user_id", ts="ts", gap_seconds=4500.0),
+            entity="user_id", ts="ts", measure="value_cents",
+        ),
+        "minhash_lsh_100k": lambda: minhash_lsh_dedup(docs, threshold=0.5),
+        "embedding_neardup_8k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
+    }
+
+
+def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
+    """Each workload repeated, best-of taken (isolates steady-state
+    throughput from scheduler warmup)."""
+    spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    paths = _synth_inputs(spark)
+    n_pages = spark.read.parquet(paths["pages"]).count()
+
+    timings: dict[str, float] = {}
+    for name, thunk in scaling_workloads(spark, paths).items():
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _materialize(thunk())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        log(f"  {name}: {timings[name]:.3f}s")
+    pages_per_sec = round(n_pages / timings["featurize_pages_1m"], 1)
+    spark.stop()
+    return {
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
+        "pages_per_sec": pages_per_sec,
+        "n_pages": n_pages,
+    }
+
+
 def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
     results = {}
     for cpus in (low, high):
         log(f"=== scaling run at local[{cpus}] ===")
-        results[cpus] = run_suite(sf_dir, cpus)
+        results[cpus] = run_scaling_suite(sf_dir, cpus)
     t_low, t_high = results[low]["value"], results[high]["value"]
     speedup = t_low / t_high
     eff = speedup / (high / low)
     md = [
         "# BENCH/BASELINE — measured throughput & scaling",
         "",
-        f"Suite: {len(BENCH_QUERIES) + 1} headline queries on `{sf_dir}`",
-        "(fully materialized via the noop sink; fresh SparkSession per level;",
-        "JVM warmup excluded). Sandbox proxy for the north rule's N-vs-4N",
-        "cluster criterion: identical job at two parallelism levels.",
+        "Scaling suite: throughput-bound workloads over large synthetic",
+        f"inputs (a {results[low]['n_pages']}-row / ~1 GB-html pages table,",
+        "a 2M-row events table, an 8k×64 embedding corpus — generated",
+        "in-Spark, materialized to parquet once, identical files read at",
+        "both levels; fully materialized via the noop sink; fresh",
+        "SparkSession per level; JVM warmup excluded; best of 2 repeats).",
+        "Sandbox proxy for the north rule's N-vs-4N-executor criterion:",
+        "the identical job at two parallelism levels on the same input.",
         "",
-        "| parallelism | total wall (s) | pages featurized/s |",
+        "| parallelism | suite wall (s) | pages featurized/s |",
         "|---|---|---|",
         f"| local[{low}] | {t_low} | {results[low]['pages_per_sec']} |",
         f"| local[{high}] | {t_high} | {results[high]['pages_per_sec']} |",
         "",
-        f"- speedup {low}→{high} cores (4×): **{speedup:.2f}×**",
-        f"- scaling efficiency = speedup / 4 = **{eff:.2f}**"
-        f" (north rule target ≥ 0.8 on real N→4N executors; a single-host",
-        "  local-mode 4× core scale-up shares one memory bus and disk, so it",
-        "  underestimates multi-node scaling for shuffle-bound stages)",
+        f"- speedup {low}→{high} cores (4× cores): **{speedup:.2f}×**",
+        f"- scaling efficiency = speedup / 4 = **{eff:.2f}**",
+        "  (north-rule target ≥ 0.8 between N and 4N executors; note a",
+        "  single-host local-mode core scale-up shares one memory bus, one",
+        "  page cache and one disk, so it lower-bounds true multi-node",
+        "  scaling for memory-bandwidth-bound stages)",
         "",
-        "Per-query seconds:",
+        "Per-query seconds and per-query efficiency:",
         "",
-        "| query | local[%d] | local[%d] |" % (low, high),
-        "|---|---|---|",
+        f"| query | local[{low}] | local[{high}] | efficiency |",
+        "|---|---|---|---|",
     ]
     for name in results[low]["queries"]:
-        md.append(
-            f"| {name} | {results[low]['queries'][name]} | "
-            f"{results[high]['queries'][name]} |"
-        )
+        a, b = results[low]["queries"][name], results[high]["queries"][name]
+        q_eff = (a / b) / (high / low) if b > 0 else float("nan")
+        md.append(f"| {name} | {a} | {b} | {q_eff:.2f} |")
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(md) + "\n")
     log("wrote BENCH/BASELINE.md")
     print(json.dumps({
-        "metric": "scaling efficiency (local[8] vs local[32])",
+        "metric": f"scaling efficiency (local[{low}] vs local[{high}])",
         "value": round(eff, 3),
         "unit": "ratio",
         "t_low": t_low,
         "t_high": t_high,
+        "pages_per_sec_low": results[low]["pages_per_sec"],
+        "pages_per_sec_high": results[high]["pages_per_sec"],
         "sf": sf_dir,
     }))
 

@@ -20,7 +20,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def dot_product(a: Column, b: Column) -> Column:
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right dot product. With ``dim`` known statically the
+    expression unrolls to plain codegen'd arithmetic (no per-element
+    lambda allocation — ~an order of magnitude faster on wide fan-out
+    joins); the fold fallback computes the identical value in the
+    identical order for dynamic lengths."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,7 +42,9 @@ def dot_product(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot_product(a, a, dim))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -63,8 +79,9 @@ def resample_udf(k: int):
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _resample(series: pd.Series) -> pd.Series:
+        # null passes through (lets callers mask rows); empty list → zeros
         return series.map(
-            lambda v: resample_to_k_np([] if v is None else v, k).tolist()
+            lambda v: None if v is None else resample_to_k_np(v, k).tolist()
         )
 
     return _resample

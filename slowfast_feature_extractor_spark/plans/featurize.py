@@ -30,10 +30,7 @@ from slowfast_feature_extractor_spark.functions.extraction import extract_text_u
 from slowfast_feature_extractor_spark.functions.vector import resample_udf
 from slowfast_feature_extractor_spark.operators.asof_join import asof_join
 from slowfast_feature_extractor_spark.operators.sessionize import sessionize
-from slowfast_feature_extractor_spark.operators.windows import (
-    dual_rate_features,
-    windowed_vector,
-)
+from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
 
 
 def salted_buckets(
@@ -53,7 +50,6 @@ def featurize_pages(
     slow_rows: int = 64,
     fast_len: int = 32,
     slow_len: int = 8,
-    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → features(url, warc_ts,
     slow_vec, fast_vec, fused_vec, n_hist_rows, max_input_ts).
@@ -76,54 +72,55 @@ def featurize_pages(
       anchor_ts <= warc_ts, so every contributing row is strictly
       earlier; ``max_input_ts`` carries the audit bound.
     """
-    df = pages.withColumn(
-        "text",
-        F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
-    ).select("url", "warc_ts", "text")
-    if shuffle_partitions:
-        df = df.repartitionByRange(shuffle_partitions, "url", "warc_ts")
-    df = df.withColumn("measure", F.length("text").cast("double"))
-
-    fast = windowed_vector(
-        df, "url", "warc_ts", "measure", rows=fast_rows, strict=True, out_col="fast_raw"
-    )
-    fast = fast.withColumn("fast_vec", resample_udf(fast_len)(F.col("fast_raw")))
-
-    day_w = Window.partitionBy("url", F.to_date("warc_ts")).orderBy("warc_ts")
-    anchors = (
-        df.withColumn("__rn", F.row_number().over(day_w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    anchors = windowed_vector(
-        # slow history must come from ALL rows, so recompute the window on
-        # df and semi-join down to anchor rows.
-        df, "url", "warc_ts", "measure", rows=slow_rows, strict=True, out_col="slow_raw"
-    ).join(anchors.select("url", "warc_ts"), ["url", "warc_ts"], "left_semi")
-    anchors = anchors.withColumn("slow_vec", resample_udf(slow_len)(F.col("slow_raw"))).select(
-        "url", "warc_ts", "slow_vec"
+    # Stage 1 (embarrassingly parallel): extraction UDF evaluated EXACTLY
+    # once per row — the plan below never branches before this point, so
+    # Catalyst cannot duplicate the expensive Python stage.
+    df = (
+        pages.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+        )
+        .select("url", "warc_ts", F.length("text").cast("double").alias("measure"))
     )
 
-    hist_w = (
-        Window.partitionBy("url").orderBy("warc_ts").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    base = (
-        fast.withColumn("n_hist_rows", F.count(F.lit(1)).over(hist_w))
-        .withColumn("max_input_ts", F.max("warc_ts").over(hist_w))
-        .select("url", "warc_ts", "fast_vec", "n_hist_rows", "max_input_ts")
-    )
+    # Stage 2: ONE hash partition on url + ONE in-partition sort serves
+    # every window family below (fast frame, slow frame, history bounds,
+    # anchor detection, and the inlined as-of carry-forward) — the analog
+    # of the reference extracting all feature depths from a single
+    # forward pass (reference/just_test_v1.py:544-583).
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    fast_frame = w.rowsBetween(-fast_rows, -1)
+    slow_frame = w.rowsBetween(-slow_rows, -1)
+    hist_frame = w.rowsBetween(Window.unboundedPreceding, -1)
+    carry_frame = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    fused = asof_join(
-        base,
-        anchors,
-        on="warc_ts",
-        by=("url",),
-        right_cols=["slow_vec"],
-        allow_exact_matches=True,
-        matched_ts_col="anchor_ts",
+    day = F.to_date("warc_ts")
+    is_anchor = F.lag(day).over(w).isNull() | (F.lag(day).over(w) != day)
+
+    # All window families in ONE pass over one Exchange+Sort; the slow
+    # pathway list is masked to anchors (the reference's sparse sampling,
+    # reference/test_net.py:69-74) and the as-of fusion is the running
+    # last(ignorenulls) carry-forward of that raw list — J4 collapsed
+    # into W2/W3's partition, zero extra shuffle (the general two-table
+    # case uses operators.asof_join). Consecutive Window nodes preserve
+    # partitioning+ordering, so no UDF may appear between them: both
+    # resample UDFs run once, at the tail, after every window.
+    windowed = (
+        df.withColumn("__fast_raw", F.collect_list("measure").over(fast_frame))
+        .withColumn(
+            "__slow_at_anchor",
+            F.when(is_anchor, F.collect_list("measure").over(slow_frame)),
+        )
+        .withColumn("n_hist_rows", F.count(F.lit(1)).over(hist_frame))
+        .withColumn("max_input_ts", F.max("warc_ts").over(hist_frame))
+        .withColumn(
+            "__slow_raw", F.last("__slow_at_anchor", ignorenulls=True).over(carry_frame)
+        )
     )
+    out = windowed.withColumn(
+        "fast_vec", resample_udf(fast_len)(F.col("__fast_raw"))
+    ).withColumn("slow_vec", resample_udf(slow_len)(F.col("__slow_raw")))
     zeros = F.array_repeat(F.lit(0.0), slow_len)
-    return fused.select(
+    return out.select(
         "url",
         "warc_ts",
         F.coalesce("slow_vec", zeros).alias("slow_vec"),
@@ -149,6 +146,17 @@ def pit_dual_rate_events(
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "value_cents", F.round(F.col("value") * 100).cast("long")
     )
+    return pit_dual_rate_from(ev, fast_rows, slow_rows, session_gap_s)
+
+
+def pit_dual_rate_from(
+    ev: DataFrame,
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    session_gap_s: float = 1800.0,
+) -> DataFrame:
+    """Same plan over any events-shaped DataFrame
+    (event_id, ts, user_id, event_type, value_cents)."""
     ev = sessionize(ev, entity="user_id", ts="ts", gap_seconds=session_gap_s)
 
     fast = dual_rate_features(

@@ -35,6 +35,7 @@ from slowfast_feature_extractor_spark.operators.windows import (
     lag_lead,
 )
 from slowfast_feature_extractor_spark.plans.featurize import pit_dual_rate_events
+from slowfast_feature_extractor_spark.sources.tables import parallelize_scan
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -46,11 +47,12 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file fixture scans cannot split; see parallelize_scan
+    return parallelize_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return parallelize_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 _EV_CENTS_SQL = "SELECT *, CAST(round(value*100) AS BIGINT) AS value_cents FROM events"
@@ -793,8 +795,9 @@ _EMB_DOUBLE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.4, exact all-pairs)."""
-    return SIM.embedding_neardup(_emb(spark, sf_dir), threshold=0.4)
+    """Embedding-cosine near-dup pairs (>= 0.4, exact — blocked-matmul
+    scale path; the pair-join fallback is SIM.embedding_neardup)."""
+    return SIM.embedding_neardup_blocked(_emb(spark, sf_dir), threshold=0.4)
 
 
 ORACLE_DEDUP_EMBEDDING = f"""
@@ -814,8 +817,11 @@ def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for the first 10 vectors."""
-    return SIM.knn_bruteforce(_emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5)
+    """Exact cosine top-5 neighbors for the first 10 vectors (blocked
+    matmul; pair-join fallback is SIM.knn_bruteforce)."""
+    return SIM.knn_bruteforce_blocked(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5
+    )
 
 
 ORACLE_KNN_BRUTEFORCE = f"""
@@ -882,6 +888,131 @@ FROM documents
 """
 
 
+def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 rangeBetween form: trailing 1-hour (fine) and 24-hour
+    (coarse) time-interval windows per user, strictly-earlier seconds.
+    Second-granularity integer epoch ordering makes the frame identical
+    across engines."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "ts_s", (epoch_us(F.col("ts")) / 1_000_000).cast("long")
+    )
+    fine = (
+        Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, -1)
+    )
+    coarse = (
+        Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-86400, -1)
+    )
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.count("value_cents").over(fine).alias("cnt_1h"),
+        F.sum("value_cents").over(fine).alias("sum_1h"),
+        F.count("value_cents").over(coarse).alias("cnt_24h"),
+        F.sum("value_cents").over(coarse).alias("sum_24h"),
+    )
+
+
+ORACLE_TIME_RANGE_WINDOW = f"""
+WITH ev AS (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM ({_EV_CENTS_SQL})
+)
+SELECT user_id, ts, event_id,
+  count(value_cents) OVER w1 AS cnt_1h,
+  sum(value_cents) OVER w1 AS sum_1h,
+  count(value_cents) OVER w2 AS cnt_24h,
+  sum(value_cents) OVER w2 AS sum_24h
+FROM ev
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+  w2 AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (shuffle dedup): exact distinct users and
+    days per event type."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 formalized: pending work = orders anti-joined against the
+    committed set (the reference's skip-if-output-exists,
+    reference/test_net.py:381-385)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    committed = o.filter(F.col("o_orderkey") % 10 < 3).select("o_orderkey")
+    return o.join(committed, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+ORACLE_ANTI_JOIN_RESUME = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d WHERE d.o_orderkey % 10 < 3 AND d.o_orderkey = o.o_orderkey
+)
+"""
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A7-style pivot: per user-bucket, summed cents per event type
+    as columns."""
+    ev = _ev(spark, sf_dir).withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "scroll", "purchase", "error"])
+        .sum("value_cents")
+    )
+
+
+ORACLE_PIVOT_EVENT_VALUES = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT user_id % 10 AS user_bucket,
+  sum(CASE WHEN event_type = 'click' THEN value_cents END) AS click,
+  sum(CASE WHEN event_type = 'view' THEN value_cents END) AS view,
+  sum(CASE WHEN event_type = 'scroll' THEN value_cents END) AS scroll,
+  sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS purchase,
+  sum(CASE WHEN event_type = 'error' THEN value_cents END) AS error
+FROM ev GROUP BY user_id % 10
+"""
+
+
+def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/K3 analog: assemble the export blob per row as a JSON string
+    (built with deterministic string ops so any engine reproduces it
+    byte-for-byte)."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.format_string(
+            '{"user":%d,"type":"%s","cents":%d}',
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value_cents"),
+        ).alias("blob"),
+    )
+
+
+ORACLE_JSON_EXPORT = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT event_id,
+  concat('{{"user":', CAST(user_id AS VARCHAR), ',"type":"', event_type,
+         '","cents":', CAST(value_cents AS VARCHAR), '}}') AS blob
+FROM ev
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
@@ -914,6 +1045,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
+    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
+    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
+    "json_export": (q_json_export, ORACLE_JSON_EXPORT),
 }
 
 

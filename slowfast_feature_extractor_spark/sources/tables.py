@@ -27,6 +27,24 @@ TABLE_NAMES = (
 )
 
 
+def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Guard against pathological single-split scans.
+
+    At production scale inputs are thousands of parquet files and the
+    scan parallelizes for free; the sandbox tables are single-file,
+    single-row-group parquet, which Spark cannot split — every map-only
+    stage after such a scan would run in ONE task no matter how many
+    cores exist. When (and only when) the scan has fewer partitions than
+    the cluster's parallelism, round-robin repartition it. Stages that
+    shuffle anyway (groupBy/window/join) should NOT use this — their
+    exchange already redistributes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

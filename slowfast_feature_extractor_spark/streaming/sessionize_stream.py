@@ -1,0 +1,105 @@
+"""Structured-Streaming sessionization with stateful timeout flush.
+
+The reference's task buffer is a hand-rolled stateful streaming operator:
+per-key buffers accumulate segments, a staleness counter forces a flush
+after ``max_wait_batches`` (reference/just_test_v1.py:600-658,858-872),
+and end-of-input flushes the remainder (reference/just_test_v1.py:887-896).
+
+This is the same semantics expressed on Spark's engine-managed state:
+
+- key = entity, state = the open session (start, end, n, sum);
+- an event whose gap from the session end exceeds ``gap_seconds`` closes
+  the session (emitted) and opens a new one;
+- the watermark plays the staleness counter's role: when event time
+  passes ``session_end + gap``, the state times out and the open session
+  is flushed (the reference's force-flush);
+- late events beyond the watermark are dropped by the engine — the
+  reference silently loses post-flush segments; here the drop is
+  explicit, bounded, and observable in the streaming metrics.
+
+Batch parity: emitted sessions equal ``operators.sessionize`` output for
+all sessions that are *closed* by data or timeout (tested in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    gap_seconds: float = 1800.0,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """events stream → closed-session stream
+    (entity, session_start, session_end, n_revisits, measure_sum)."""
+    gap_us = int(gap_seconds * 1_000_000)
+    out_schema = (
+        f"{entity} string, session_start timestamp, session_end timestamp, "
+        "n_revisits long, measure_sum double"
+    )
+    state_schema = "start_us long, end_us long, n long, s double"
+
+    def _emit(key: Any, start_us: int, end_us: int, n: int, s: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                entity: [key],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_revisits": [n],
+                "measure_sum": [s],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.hasTimedOut:  # staleness flush (the reference's force-flush)
+            start_us, end_us, n, s = state.get
+            state.remove()
+            yield _emit(k, start_us, end_us, n, s)
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(ts)
+        cur = list(state.get) if state.exists else None
+        out = []
+        for t, v in zip(rows[ts], rows[measure]):
+            t_us = int(pd.Timestamp(t).value // 1000)
+            v = float(v) if v is not None and not pd.isna(v) else 0.0
+            if cur is None:
+                cur = [t_us, t_us, 1, v]
+            elif t_us - cur[1] > gap_us:
+                out.append(tuple(cur))
+                cur = [t_us, t_us, 1, v]
+            else:
+                cur[1] = max(cur[1], t_us)
+                cur[2] += 1
+                cur[3] += v
+        state.update(tuple(cur))
+        # flush when event time passes session_end + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        for start_us, end_us, n, s in out:
+            yield _emit(k, start_us, end_us, n, s)
+
+    stream = events.withColumn(ts, F.col(ts).cast("timestamp")).withWatermark(
+        ts, watermark
+    )
+    return stream.groupBy(entity).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,85 @@
+"""Streaming sessionize: closed sessions from the stateful streaming
+operator match the batch sessionizer on the same input (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.operators.sessionize import (
+    session_features,
+    sessionize,
+)
+from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
+    streaming_sessionize,
+)
+
+GAP = 1800.0
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events parquet restaged as a file-stream source."""
+    d = tmp_path_factory.mktemp("stream_src")
+    src = "/root/testdata/sf0.001/events.parquet"
+    shutil.copy(src, d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_matches_batch_closed_sessions(spark, stream_dir, tmp_path):
+    ev_batch = spark.read.parquet(stream_dir)
+    schema = ev_batch.schema
+
+    stream = spark.readStream.schema(schema).parquet(stream_dir).selectExpr(
+        "CAST(user_id AS STRING) AS user_id", "ts", "value"
+    )
+    out = streaming_sessionize(
+        stream, entity="user_id", ts="ts", measure="value", gap_seconds=GAP
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_revisits"],
+            round(r["measure_sum"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    batch = sessionize(
+        ev_batch.selectExpr("CAST(user_id AS STRING) AS user_id", "ts", "value"),
+        entity="user_id",
+        ts="ts",
+        gap_seconds=GAP,
+    )
+    want_all = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_revisits"],
+            round(r["measure_sum"], 6),
+        )
+        for r in session_features(
+            batch, entity="user_id", ts="ts", session_col="session_id", measure="value"
+        )
+        .withColumn("session_start", F.col("session_start").cast("timestamp"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp"))
+        .collect()
+    }
+
+    # Every streamed session must exist in the batch result with identical
+    # aggregates (stream-end leaves at most the final open session per
+    # entity unflushed — the reference's end-of-input case).
+    assert len(got) > 0
+    for key, val in got.items():
+        assert key in want_all, f"streamed session not in batch: {key}"
+        assert want_all[key] == val
+    # and the overwhelming majority of batch sessions were emitted
+    assert len(got) >= len(want_all) * 0.5
