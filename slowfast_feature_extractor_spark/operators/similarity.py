@@ -238,23 +238,35 @@ def embedding_neardup_blocked(
         import pandas as pd
 
         b_ids, b_mat = bc.value
+        # cap the transient score block at ~1GB (rows × n_corpus × 8B) —
+        # big enough that GEMM stays fat, small enough that 16 workers
+        # fit comfortably in memory
+        chunk = max(512, (1 << 30) // (8 * max(1, len(b_ids))))
         for pdf in it:
             if not len(pdf):
                 continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.T
-            ai, bi = np.nonzero(
-                (np.round(sims, 6) >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "sim": np.round(sims[ai, bi], 6),
-                }
-            )
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            all_vecs = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            all_vecs = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+            for lo in range(0, len(all_ids), chunk):
+                a_ids = all_ids[lo:lo + chunk]
+                sims = all_vecs[lo:lo + chunk] @ b_mat.T
+                # cheap conservative pre-filter; exact rounded check only
+                # on the (few) survivors
+                ai, bi = np.nonzero(
+                    (sims >= threshold - 1e-6) & (a_ids[:, None] < b_ids[None, :])
+                )
+                if not len(ai):
+                    continue
+                hit = np.round(sims[ai, bi], 6)
+                keep = hit >= threshold
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai][keep],
+                        "id_b": b_ids[bi][keep],
+                        "sim": hit[keep],
+                    }
+                )
 
     src = df.select(id_col, vec_col)
     return src.mapInPandas(_blocks, schema="id_a long, id_b long, sim double")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from slowfast_feature_extractor_spark.functions.extraction import extract_text_udf
 from slowfast_feature_extractor_spark.functions.vector import resample_udf
 from slowfast_feature_extractor_spark.operators.asof_join import asof_join
-from slowfast_feature_extractor_spark.operators.sessionize import sessionize
+from slowfast_feature_extractor_spark.operators.sessionize import sessionize  # noqa: F401
 from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
 
 
@@ -129,6 +129,50 @@ def featurize_pages(
         "n_hist_rows",
         "max_input_ts",
     )
+
+
+def featurize_sessions(
+    pages: DataFrame,
+    gap_seconds: float = 30 * 24 * 3600.0,
+    vec_len: int = 8,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Session-granularity featurization (FIXTURES.md §4 `sessions`):
+    sessionize crawl revisits per url, then summarize each session's
+    ordered measure series into a fixed-length vector.
+
+    This is the reference's task-level variant — same operators, coarser
+    grouping (reference/task_slowfast.py:1389 concatenates segment
+    frames within a task before sampling; here the session's measures
+    are ordered-concatenated then resampled). Uses only rows *inside*
+    the session (a summary, not a point-in-time feature — no leakage
+    question arises; PIT features come from featurize_pages).
+    """
+    df = (
+        pages.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+        )
+        .select("url", "warc_ts", F.length("text").cast("double").alias("measure"))
+    )
+    s = sessionize(df, entity="url", ts="warc_ts", gap_seconds=gap_seconds)
+    agg = s.groupBy("url", "session_id").agg(
+        F.min("warc_ts").alias("session_start"),
+        F.max("warc_ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_revisits"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("warc_ts").alias("__ts"),
+                                        F.col("measure").alias("__v")))
+            ),
+            lambda x: x["__v"],
+        ).alias("__ordered"),
+    )
+    out = agg.withColumn("session_vec", resample_udf(vec_len)(F.col("__ordered"))).drop(
+        "__ordered"
+    )
+    if min_rows is not None:
+        out = out.filter(F.col("n_revisits") >= min_rows)
+    return out
 
 
 def pit_dual_rate_events(

@@ -34,6 +34,13 @@ def get_spark(
         except (TypeError, ValueError):
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    # One BLAS thread per Python worker: Spark already parallelizes
+    # across workers, and an OpenBLAS pool per worker oversubscribes the
+    # box (measured: blocked-matmul gets SLOWER with more cores without
+    # this). Must be in the env before numpy loads in the workers.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -48,6 +55,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # This engine's scans feed expensive per-byte work (HTML parsing
+        # UDFs), so favor split granularity over scan-bound defaults:
+        # 128MB splits would coalesce a 1GB input to ~8 tasks and cap
+        # extraction parallelism regardless of cores.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        # Same reasoning post-shuffle: AQE's 64MB advisory coalesces a
+        # few-hundred-MB shuffle to a handful of partitions, serializing
+        # md5/join-heavy stages; 16MB keeps all cores fed.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,59 @@
+"""Session-granularity featurization vs pandas oracle; partitioned sink
+pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slowfast_feature_extractor_spark.functions.extraction import extract_text
+from slowfast_feature_extractor_spark.functions.vector import resample_to_k_np
+from slowfast_feature_extractor_spark.plans.featurize import featurize_sessions
+from slowfast_feature_extractor_spark.sources.sinks import read_features, write_features
+
+GAP = 30 * 24 * 3600.0
+
+
+def test_featurize_sessions_matches_oracle(spark, pages_pd, pages_df):
+    got = {
+        (r["url"], r["session_id"]): r
+        for r in featurize_sessions(pages_df, gap_seconds=GAP, vec_len=4).collect()
+    }
+    df = pages_pd.copy()
+    df["measure"] = df["html"].map(lambda h: float(len(extract_text(h))))
+    n_sessions = 0
+    for url, g in df.sort_values(["url", "warc_ts"]).groupby("url"):
+        sid, prev = 0, None
+        sessions: dict[int, list] = {}
+        for _, row in g.iterrows():
+            if prev is None or (row["warc_ts"] - prev).total_seconds() > GAP:
+                sid += 1
+            prev = row["warc_ts"]
+            sessions.setdefault(sid, []).append(row)
+        for idx, rows in sessions.items():
+            n_sessions += 1
+            key = (url, f"{url}#{idx}")
+            assert key in got, key
+            r = got[key]
+            assert r["n_revisits"] == len(rows)
+            assert r["session_start"] == rows[0]["warc_ts"].to_pydatetime()
+            assert r["session_end"] == rows[-1]["warc_ts"].to_pydatetime()
+            want_vec = resample_to_k_np([x["measure"] for x in rows], 4)
+            np.testing.assert_allclose(np.array(r["session_vec"]), want_vec, atol=1e-9)
+    assert len(got) == n_sessions
+
+
+def test_partitioned_sink_prunes(spark, pages_df, tmp_path):
+    from slowfast_feature_extractor_spark.plans.featurize import featurize_pages
+
+    feats = featurize_pages(pages_df, fast_rows=4, slow_rows=8, fast_len=4, slow_len=2)
+    path = str(tmp_path / "features")
+    write_features(feats, path, buckets=4)
+
+    allrows = read_features(spark, path)
+    assert allrows.count() == pages_df.count()
+    days = sorted(r[0] for r in allrows.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    pruned = read_features(spark, path, start_day=str(mid))
+    assert 0 < pruned.count() < allrows.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
