@@ -184,10 +184,19 @@ def minhash_lsh_dedup(
     sigs = sh.groupBy("id").agg(*aggs)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Verification never sorts the big index: the candidate set is tiny
+    # relative to the corpus (that is LSH's whole point), so broadcast it
+    # against sh (hash probe, no sort), then semi-restrict sh again on
+    # the (id_b, shingle) pairs. Candidate-doc shingles stay small, so
+    # the second join's left side broadcasts too.
+    a_shingles = sh.join(F.broadcast(cand), sh["id"] == cand["id_a"]).select(
+        "id_a", "id_b", "shingle"
+    )
     inter = (
-        cand.hint("merge").join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
-        .hint("merge").join(sh.withColumnsRenamed({"id": "id_b", "shingle": "shingle_b"}), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        a_shingles.join(
+            sh.withColumnsRenamed({"id": "id_b"}),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

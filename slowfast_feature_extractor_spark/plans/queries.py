@@ -888,6 +888,38 @@ FROM documents
 """
 
 
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface (Catalyst plans SQL and DataFrame identically):
+    TPC-H-Q1-shaped pricing summary with exact cents arithmetic."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+               round(avg(CAST(round(l_discount * 100) AS BIGINT)), 6) AS avg_disc_c,
+               count(*) AS n
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       round(avg(CAST(round(l_discount * 100) AS BIGINT)), 6) AS avg_disc_c,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/W3 rangeBetween form: trailing 1-hour (fine) and 24-hour
     (coarse) time-interval windows per user, strictly-earlier seconds.
@@ -1045,6 +1077,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
     "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
     "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
