@@ -868,6 +868,15 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 """
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded-KMeans coarse quantizer, n_probe nearest cells.
+    Approximate + model-based → rows-only driver check (no SQL oracle);
+    recall vs the exact oracle is asserted in tests."""
+    return SIM.knn_ivf(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5, n_cells=8, n_probe=4
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: docs text as opaque bytes → mapInPandas
     metadata + deterministic fake feature (decode stubs documented in
@@ -1076,6 +1085,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
+    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
