@@ -44,6 +44,54 @@ def fake_feature(n_bytes: int, k: int = 4) -> list[float]:
     return [float((n_bytes * i) % 97) for i in range(1, k + 1)]
 
 
+def frame_sample(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    num_frames: int = 8,
+    alpha: int = 4,
+) -> DataFrame:
+    """Dual-rate frame sampling over opaque media bytes — the Spark-side
+    plumbing of the reference's stride sampling (reference/test_net.py:
+    62-74) with the codec stubbed: each ``frame_bytes`` slice of the blob
+    stands in for a decoded frame; fast = ``num_frames`` evenly-strided
+    frames, slow = ``num_frames/alpha`` (pad-repeat-last when short).
+    Output one row per (id, pathway, frame_idx) with the frame's md5 —
+    exactly the explode shape a real decoder would feed downstream."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def sample(b: bytes, k: int) -> list[bytes]:
+            frames = [b[i:i + frame_bytes] for i in range(0, len(b), frame_bytes)] or [b""]
+            stride = max(1, len(frames) // k)
+            picked = frames[::stride][:k]
+            while len(picked) < k:  # pad-repeat-last (test_net.py:126-136)
+                picked.append(picked[-1])
+            return picked
+
+        for pdf in it:
+            rows = {"doc_id": [], "pathway": [], "frame_idx": [], "frame_md5": []}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(b) if b is not None else b""
+                for pathway, k in (("fast", num_frames), ("slow", num_frames // alpha)):
+                    for j, fr in enumerate(sample(b, k)):
+                        rows["doc_id"].append(i)
+                        rows["pathway"].append(pathway)
+                        rows["frame_idx"].append(j)
+                        rows["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _batches, schema="doc_id long, pathway string, frame_idx int, frame_md5 string"
+    )
+
+
+def resize_stub(data: bytes, out_w: int, out_h: int):  # pragma: no cover - stub
+    """Real resize needs a codec (cv2.resize in the reference,
+    reference/datasets/videoset.py:91-95) — unavailable here."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
 def media_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched metadata + (fake) feature extraction over a binary
     media column: byte length, md5 digest, 4-dim feature."""

@@ -1054,6 +1054,44 @@ FROM ev
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-rate frame sampling plumbing over opaque media bytes
+    (reference's stride sampling, test_net.py:62-74; codec stubbed)."""
+    from slowfast_feature_extractor_spark.operators.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir).withColumn("media", F.encode(F.col("text"), "utf-8"))
+    return frame_sample(d, media_col="media", id_col="doc_id",
+                        frame_bytes=64, num_frames=8, alpha=4)
+
+
+# stride sampling reproduced in pure SQL: frames of 64 bytes; stride =
+# max(1, nf div k); picked = frames[::stride][:k]; pad-repeat-last.
+ORACLE_MULTIMODAL_FRAMES = """
+WITH p AS (SELECT * FROM (VALUES ('fast', 8), ('slow', 2)) AS t(pathway, k)),
+j AS (SELECT unnest(range(0, 8)) AS frame_idx),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN strlen(text) = 0 THEN 1
+              ELSE CAST(ceil(strlen(text) / 64.0) AS INT) END AS nf
+  FROM documents
+),
+s AS (
+  SELECT b.doc_id, b.text, b.nf, p.pathway, p.k, j.frame_idx,
+         greatest(1, b.nf // p.k) AS stride
+  FROM base b CROSS JOIN p CROSS JOIN j
+  WHERE j.frame_idx < p.k
+),
+idx AS (
+  SELECT *, least(frame_idx,
+                  least(k, CAST(ceil(nf * 1.0 / stride) AS INT)) - 1) AS pick
+  FROM s
+)
+SELECT doc_id, pathway, CAST(frame_idx AS INT) AS frame_idx,
+       md5(substr(text, pick * stride * 64 + 1, 64)) AS frame_md5
+FROM idx
+"""
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
@@ -1090,6 +1128,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
     "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
     "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
     "json_export": (q_json_export, ORACLE_JSON_EXPORT),

@@ -1,0 +1,54 @@
+"""Multimodal binary plumbing: metadata extraction and dual-rate frame
+sampling over opaque bytes (codec stubbed, plumbing real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.operators.multimodal import (
+    decode_image,
+    frame_sample,
+    media_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"A" * 640),          # 10 frames of 64B
+        (2, b"B" * 100),          # 2 frames (one short)
+        (3, b""),                  # empty blob
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, media binary")
+
+
+def test_media_meta(spark, media):
+    out = {r["doc_id"]: r for r in media_meta(media).collect()}
+    assert out[1]["n_bytes"] == 640
+    assert out[1]["digest"] == hashlib.md5(b"A" * 640).hexdigest()
+    assert out[3]["n_bytes"] == 0
+    assert out[1]["f1"] == float((640 * 1) % 97)
+
+
+def test_frame_sample_dual_rate(spark, media):
+    out = frame_sample(media, frame_bytes=64, num_frames=8, alpha=4).toPandas()
+    g1 = out[(out.doc_id == 1)]
+    fast = g1[g1.pathway == "fast"].sort_values("frame_idx")
+    slow = g1[g1.pathway == "slow"].sort_values("frame_idx")
+    assert len(fast) == 8 and len(slow) == 2  # NUM_FRAMES vs NUM_FRAMES/ALPHA
+    assert fast.frame_md5.iloc[0] == hashlib.md5(b"A" * 64).hexdigest()
+    # short media pads by repeating the last frame
+    g2 = out[(out.doc_id == 2) & (out.pathway == "fast")].sort_values("frame_idx")
+    assert len(g2) == 8
+    assert g2.frame_md5.iloc[-1] == g2.frame_md5.iloc[1]  # repeated pad
+    # empty blob still yields full schema rows
+    g3 = out[out.doc_id == 3]
+    assert len(g3) == 8 + 2
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
