@@ -1,0 +1,53 @@
+"""Skew robustness: a hot entity with ~100× the revisits of the rest
+must produce correct windows and spread across salted buckets."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
+from slowfast_feature_extractor_spark.plans.featurize import salted_buckets
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    t0 = datetime(2024, 1, 1)
+    hot = [("hot", t0 + timedelta(minutes=i), float(i)) for i in range(5000)]
+    cold = [
+        (f"cold{u}", t0 + timedelta(hours=i), float(i))
+        for u in range(200)
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        hot + cold, schema="url string, warc_ts timestamp, value double"
+    )
+
+
+def test_hot_entity_windows_correct(spark, skewed):
+    out = dual_rate_features(skewed, fast_rows=8, slow_rows=64, strict=True)
+    hot = out.filter(F.col("url") == "hot")
+    assert hot.count() == 5000
+    # window counts saturate correctly on the hot key
+    sat = hot.filter(F.col("slow_cnt") == 64).count()
+    assert sat == 5000 - 64
+    last = hot.orderBy(F.col("warc_ts").desc()).limit(1).collect()[0]
+    # last row's fast window = values 4991..4998
+    assert last["fast_avg"] == pytest.approx(sum(range(4991, 4999)) / 8)
+    assert last["n_hist_rows"] == 4999
+
+
+def test_salted_buckets_spread_hot_key(spark, skewed):
+    b = salted_buckets(skewed, key="url", buckets=16)
+    # deterministic: the same url lands in one bucket per salt...
+    per_bucket = b.filter(F.col("url") == "hot").select("bucket").distinct().count()
+    assert per_bucket == 1
+    # ...but adding the timestamp to the salt spreads the hot entity for
+    # embarrassingly-parallel stages (extraction etc.)
+    spread = skewed.withColumn(
+        "bucket", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(16)).cast("int")
+    )
+    n = spread.filter(F.col("url") == "hot").select("bucket").distinct().count()
+    assert n == 16
