@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "multimodal_meta",
+    "multimodal_frames",
 ]
 
 PAGES_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "pages")
