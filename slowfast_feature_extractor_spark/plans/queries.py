@@ -68,11 +68,11 @@ def q_pit_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIT_DUAL_RATE = f"""
 WITH ev AS ({_EV_CENTS_SQL}),
 sess AS (
-  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL
                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev)
 ),
 feats AS (
@@ -189,10 +189,10 @@ lagged AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
 ),
 s AS (
-  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM lagged
 )
 SELECT user_id, ts, event_id, session_idx,
@@ -223,17 +223,17 @@ lagged AS (
   SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
 ),
 s AS (
-  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM lagged
 )
 SELECT user_id,
        concat(CAST(user_id AS VARCHAR), '#', CAST(session_idx AS VARCHAR)) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_revisits,
-       sum(value_cents) AS sum_cents,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents,
        round(avg(value_cents), 6) AS avg_cents,
        string_agg(event_type, ',' ORDER BY ts, event_type) AS type_seq
 FROM s GROUP BY user_id, session_idx
@@ -331,7 +331,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BROADCAST_DIM_JOIN = """
 SELECT r_name, n_name, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS acct_cents_sum
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_cents_sum
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
@@ -423,7 +423,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GROUPING_SETS = f"""
 WITH ev AS ({_EV_CENTS_SQL})
 SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
-       sum(value_cents) AS sum_cents
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents
 FROM ev GROUP BY ROLLUP (event_type, user_bucket)
 """
 
@@ -919,8 +919,8 @@ def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
        round(avg(CAST(round(l_discount * 100) AS BIGINT)), 6) AS avg_disc_c,
        count(*) AS n
 FROM lineitem
@@ -1020,11 +1020,11 @@ def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIVOT_EVENT_VALUES = f"""
 WITH ev AS ({_EV_CENTS_SQL})
 SELECT user_id % 10 AS user_bucket,
-  sum(CASE WHEN event_type = 'click' THEN value_cents END) AS click,
-  sum(CASE WHEN event_type = 'view' THEN value_cents END) AS view,
-  sum(CASE WHEN event_type = 'scroll' THEN value_cents END) AS scroll,
-  sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS purchase,
-  sum(CASE WHEN event_type = 'error' THEN value_cents END) AS error
+  CAST(sum(CASE WHEN event_type = 'click' THEN value_cents END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'view' THEN value_cents END) AS BIGINT) AS view,
+  CAST(sum(CASE WHEN event_type = 'scroll' THEN value_cents END) AS BIGINT) AS scroll,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN value_cents END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'error' THEN value_cents END) AS BIGINT) AS error
 FROM ev GROUP BY user_id % 10
 """
 
