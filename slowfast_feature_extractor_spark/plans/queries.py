@@ -34,7 +34,10 @@ from slowfast_feature_extractor_spark.operators.windows import (
     dual_rate_features,
     lag_lead,
 )
-from slowfast_feature_extractor_spark.plans.featurize import pit_dual_rate_events
+from slowfast_feature_extractor_spark.plans.featurize import (
+    featurize_pages,
+    pit_dual_rate_events,
+)
 from slowfast_feature_extractor_spark.sources.tables import parallelize_scan
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -101,6 +104,100 @@ SELECT c.user_id, c.ts, c.event_id, c.session_idx, c.fast_avg, c.fast_cnt,
        round(v.slow_view_avg, 6) AS slow_view_avg, v.slow_view_cnt
 FROM clicks c ASOF LEFT JOIN view_feats v
   ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_featurize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship pipeline itself (W2+W3+W5+W6+A2+J4), driver-checkable:
+    events reshaped to the pages schema, run through
+    :func:`featurize_pages` (extraction UDF → dual-rate trailing windows →
+    np.interp resample → anchor carry-forward as-of fusion → slow‖fast
+    concat, reference/test_net.py:62-74 + models/head_helper.py:19 +
+    datasets/videoset.py:194-196), fused vector exploded to
+    (url, warc_ts, idx, value) so DuckDB can hash it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit(""))
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = featurize_pages(pages, fast_rows=8, slow_rows=16, fast_len=8, slow_len=4)
+    return out.select(
+        "url", "warc_ts", F.posexplode("fused_vec").alias("idx", "value")
+    ).withColumn("value", F.round("value", 6))
+
+
+def _resample_sql(ys: str, k: int) -> str:
+    """DuckDB expression bit-identical to functions.vector.resample_to_k_np
+    (np.interp with linspace endpoints): same linspace step arithmetic
+    (x_j = j * (1/(n-1)), endpoint assigned exactly 1.0), same
+    searchsorted-then-`slope*(x-xs[j])+y[j]` operation order, same
+    empty→zeros / singleton→repeat edge cases. Verified exact over
+    random lists in tests (no tolerance)."""
+    stepn = f"(1.0 / CAST(len({ys}) - 1 AS DOUBLE))"
+    stepk = f"(1.0 / CAST({k - 1} AS DOUBLE))"
+    x = f"(CASE WHEN i = {k - 1} THEN 1.0 ELSE CAST(i AS DOUBLE) * {stepk} END)"
+
+    def xs_of(j: str) -> str:
+        return (
+            f"(CASE WHEN {j} = len({ys}) - 1 THEN 1.0"
+            f" ELSE CAST({j} AS DOUBLE) * {stepn} END)"
+        )
+
+    j = f"(len(list_filter(range(0, len({ys})), jj -> {xs_of('jj')} <= {x})) - 1)"
+    return f"""
+    CASE WHEN {ys} IS NULL THEN NULL
+         WHEN len({ys}) = 0 THEN list_transform(range(0, {k}), i -> 0.0)
+         WHEN len({ys}) = 1 THEN list_transform(range(0, {k}), i -> CAST({ys}[1] AS DOUBLE))
+         ELSE list_transform(range(0, {k}), i ->
+            CASE WHEN {j} >= len({ys}) - 1 THEN CAST({ys}[len({ys})] AS DOUBLE)
+                 ELSE ((CAST({ys}[{j} + 2] AS DOUBLE) - CAST({ys}[{j} + 1] AS DOUBLE))
+                        / ({xs_of(f'({j} + 1)')} - CAST({j} AS DOUBLE) * {stepn}))
+                      * ({x} - CAST({j} AS DOUBLE) * {stepn})
+                      + CAST({ys}[{j} + 1] AS DOUBLE)
+            END)
+    END"""
+
+
+ORACLE_FEATURIZE_PAGES = f"""
+WITH pages AS (
+  SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, ts AS warc_ts,
+         CAST(length(concat(event_type, ':', COALESCE(props, ''))) AS DOUBLE) AS measure
+  FROM events
+),
+w AS (
+  SELECT url, warc_ts,
+         COALESCE(list(measure) OVER fast, CAST([] AS DOUBLE[])) AS fast_raw,
+         CASE WHEN lag(CAST(warc_ts AS DATE)) OVER o IS NULL
+                OR lag(CAST(warc_ts AS DATE)) OVER o <> CAST(warc_ts AS DATE)
+              THEN COALESCE(list(measure) OVER slow, CAST([] AS DOUBLE[])) END AS slow_at_anchor
+  FROM pages
+  WINDOW o AS (PARTITION BY url ORDER BY warc_ts),
+         fast AS (PARTITION BY url ORDER BY warc_ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+         slow AS (PARTITION BY url ORDER BY warc_ts ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+),
+c AS (
+  SELECT url, warc_ts, fast_raw,
+         last_value(slow_at_anchor IGNORE NULLS)
+           OVER (PARTITION BY url ORDER BY warc_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slow_raw
+  FROM w
+),
+v AS (
+  SELECT url, warc_ts,
+         {_resample_sql('fast_raw', 8)} AS fast_vec,
+         COALESCE({_resample_sql('slow_raw', 4)},
+                  [0.0, 0.0, 0.0, 0.0]) AS slow_vec
+  FROM c
+),
+f AS (SELECT url, warc_ts, list_concat(slow_vec, fast_vec) AS fused FROM v)
+SELECT url, warc_ts, CAST(r.idx AS INT) AS idx,
+       round(fused[CAST(r.idx AS INT) + 1], 6) AS value
+FROM f, range(0, 12) AS r(idx)
 """
 
 
@@ -1094,6 +1191,7 @@ FROM idx
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
+    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
     "asof_join": (q_asof_join, _oracle_asof(">=")),
     "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
