@@ -212,65 +212,86 @@ def embedding_neardup_blocked(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bits: int | None = None,
+    rows_per_block: int = 4096,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via blocked matrix multiply — the scale path.
+    """Near-duplicate pairs via distributed blocked matrix multiply — the
+    scale path, with NO driver-side materialization of the corpus.
 
     The naive pair join materializes O(n²) rows each carrying BOTH
     vectors (~1 KB/pair): measured on 16M pairs it is memory-bandwidth
-    bound and does not scale with cores. Here the unit-normalized corpus
-    is broadcast ONCE as a dense matrix (n×d doubles — 4 MB for 8k×64);
-    each Arrow batch computes ``A_block @ M.T`` in BLAS and emits only
-    the hits, so no pair row ever exists unless it is a result.
+    bound and does not scale with cores. Here every row is hashed into
+    one of B blocks of ~``rows_per_block`` vectors, replicated to the B
+    unordered block-pairs it participates in (an ``explode`` over block
+    ids — pure shuffle, never through the driver), and each block-pair
+    group computes one dense GEMM in ``applyInPandas``, emitting only
+    the hits. Exact all-pairs semantics; total shuffle is O(n·B·d) and
+    every group is a bounded ~(rows_per_block)² score matrix.
 
-    Fits corpora whose matrix fits an executor (~10^7×64). Beyond that,
-    compose with sign-LSH buckets (``sign_bucket``) and run this within
-    each bucket — the same pattern minhash_lsh uses for text.
+    ``bits=b`` composes with sign-LSH (:func:`sign_bucket`): block-pairs
+    are enumerated only *within* a sign bucket, cutting candidate work
+    ~2^b× (approximate — near-dups at high thresholds almost always
+    share the sign pattern). That is the 10^7+-row configuration; the
+    default ``bits=None`` stays exact.
     """
     import numpy as np
 
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // rows_per_block))
+    B = int(n_blocks)
 
-    def _blocks(it):
+    bucket = sign_bucket(F.col(vec_col), bits) if bits is not None else F.lit(0)
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        bucket.alias("__bkt"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("__blk"),
+    )
+    # replicate each row to every unordered block-pair {__blk, o} it is
+    # part of; the pair (and bucket) is the applyInPandas group key
+    exploded = (
+        src.withColumn("__o", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("__i", F.least("__blk", "__o"))
+        .withColumn("__j", F.greatest("__blk", "__o"))
+        .drop("__o")
+    )
+
+    def _score(pdf):
         import pandas as pd
 
-        b_ids, b_mat = bc.value
-        # cap the transient score block at ~1GB (rows × n_corpus × 8B) —
-        # big enough that GEMM stays fat, small enough that 16 workers
-        # fit comfortably in memory
-        chunk = max(512, (1 << 30) // (8 * max(1, len(b_ids))))
-        for pdf in it:
-            if not len(pdf):
-                continue
-            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            all_vecs = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            all_vecs = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
-            for lo in range(0, len(all_ids), chunk):
-                a_ids = all_ids[lo:lo + chunk]
-                sims = all_vecs[lo:lo + chunk] @ b_mat.T
-                # cheap conservative pre-filter; exact rounded check only
-                # on the (few) survivors
-                ai, bi = np.nonzero(
-                    (sims >= threshold - 1e-6) & (a_ids[:, None] < b_ids[None, :])
-                )
-                if not len(ai):
-                    continue
-                hit = np.round(sims[ai, bi], 6)
-                keep = hit >= threshold
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[ai][keep],
-                        "id_b": b_ids[bi][keep],
-                        "sim": hit[keep],
-                    }
-                )
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(pdf["__v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        blk = pdf["__blk"].to_numpy()
+        i, j = int(pdf["__i"].iat[0]), int(pdf["__j"].iat[0])
+        if i == j:
+            sims = vecs @ vecs.T
+            # cheap conservative pre-filter; exact rounded check only on
+            # the (few) survivors
+            ai, bi = np.nonzero(
+                (sims >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+            )
+            id_a, id_b, s = ids[ai], ids[bi], sims[ai, bi]
+        else:
+            ma, mb = blk == i, blk == j
+            va, vb = vecs[ma], vecs[mb]
+            ia, ib = ids[ma], ids[mb]
+            sims = va @ vb.T
+            ai, bi = np.nonzero(sims >= threshold - 1e-6)
+            id_a = np.minimum(ia[ai], ib[bi])
+            id_b = np.maximum(ia[ai], ib[bi])
+            s = sims[ai, bi]
+        s = np.round(s, 6)
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"id_a": id_a[keep], "id_b": id_b[keep], "sim": s[keep]}
+        )
 
-    src = df.select(id_col, vec_col)
-    return src.mapInPandas(_blocks, schema="id_a long, id_b long, sim double")
+    return exploded.groupBy("__bkt", "__i", "__j").applyInPandas(
+        _score, schema="id_a long, id_b long, sim double"
+    )
 
 
 def knn_ivf(

@@ -48,3 +48,22 @@ def test_embedding_neardup(emb):
     assert (0, 4) in pairs and (0, 1) in pairs and (1, 4) in pairs
     assert all(s >= 0.95 for s in pairs.values())
     assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_embedding_neardup_blocked_exact_parity(emb):
+    """Distributed block-pair matmul == exact pair join, with the corpus
+    forced across multiple blocks (every block-pair branch exercised) and
+    no driver collect of the input anywhere in the plan."""
+    want = {(r.id_a, r.id_b): r.sim for r in
+            SIM.embedding_neardup(emb, threshold=-1.1).collect()}
+    got = {(r.id_a, r.id_b): r.sim for r in
+           SIM.embedding_neardup_blocked(emb, threshold=-1.1, n_blocks=3).collect()}
+    assert got == want and len(got) == 10  # all C(5,2) pairs scored identically
+
+
+def test_embedding_neardup_blocked_lsh_restricts_to_sign_bucket(emb):
+    out = {(r.id_a, r.id_b) for r in
+           SIM.embedding_neardup_blocked(emb, threshold=-1.1, bits=1, n_blocks=2).collect()}
+    # vec 3 has negative first dim -> its pairs with 0/1/4 cross buckets
+    assert (0, 3) not in out and (1, 3) not in out
+    assert (0, 4) in out and (0, 1) in out
