@@ -256,25 +256,57 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_pairs(
-    sim: DataFrame, max_hamming: int = 2, id_col: str = "id", hash_col: str = "simhash"
+    sim: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "id",
+    hash_col: str = "simhash",
+    n_bits: int = 16,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
-
-    Small-scale: direct a<b self-join with popcount(xor). At scale,
-    block by bit-bands first (pigeonhole: hamming ≤ d ⇒ some band of
-    d+1 is identical) — see minhash_lsh_candidates for the banding
-    pattern. Output (id_a, id_b, hamming)."""
-    a = sim.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"))
-    b = sim.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"))
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming, via banded
+    pigeonhole blocking: split the ``n_bits`` signature into
+    ``max_hamming + 1`` contiguous bit-bands — any pair within distance d
+    must agree exactly on at least one band — so candidates come from an
+    equi-join on (band index, band value) instead of an O(n²) cross
+    join (the same blocking shape as :func:`minhash_lsh_candidates`).
+    Exact popcount(xor) verification runs only on candidates.
+    Output (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    edges = [round(k * n_bits / n_bands) for k in range(n_bands + 1)]
+    per_band = []
+    for k in range(n_bands):
+        lo, hi = edges[k], edges[k + 1]
+        band_val = F.shiftright(F.col(hash_col), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+        per_band.append(
+            sim.select(
+                F.lit(k).alias("band"),
+                band_val.alias("bucket"),
+                F.col(id_col).alias("id"),
+                F.col(hash_col).alias("h"),
+            )
+        )
+    banded = per_band[0]
+    for p in per_band[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    # banded tables are exploded n_bands× past Catalyst's size estimate —
+    # pin sort-merge so AQE never broadcasts a misestimated side (same
+    # guard as the inverted-index joins above)
+    cand = (
+        a.hint("merge").join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()  # a pair may collide in several bands
+    )
     x = F.col("h_a").bitwiseXOR(F.col("h_b"))
     pop = None
-    for j in range(16):
+    for j in range(n_bits):
         t = F.shiftright(x, j).bitwiseAND(F.lit(1))
         pop = t if pop is None else pop + t
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", pop)
+        cand.withColumn("hamming", pop)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

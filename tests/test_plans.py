@@ -59,3 +59,11 @@ def test_inverted_index_joins_never_broadcast_big_side(spark, name):
     (misestimation caused 5x run-to-run variance)."""
     plan = _plan(REGISTRY[name][0](spark, SF_TINY))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_simhash_pairs_no_cross_join(spark):
+    """Banded pigeonhole blocking: candidates come from an equi-join on
+    (band, bucket), never a cartesian product."""
+    plan = _plan(REGISTRY["dedup_simhash_pairs"][0](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
