@@ -305,6 +305,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
     quantizer partitions the corpus into cells; each query scores only
@@ -312,7 +313,13 @@ def knn_ivf(
     comparisons. The scale shape of FAISS-style IVF-Flat expressed as a
     join: centroid assignment is a tiny broadcast, candidate scoring is
     an equi-join on cell id. Same output contract as knn_bruteforce
-    (rank within probed cells)."""
+    (rank within probed cells; ``n_probe = n_cells`` degrades gracefully
+    to the exact answer — driver-checked as knn_ivf_fullprobe).
+
+    ``fit_fraction < 1`` fits the quantizer on a seeded
+    ``corpus.sample`` — at 10^7+ rows the quantizer needs ~10^5 training
+    vectors, not the corpus (FAISS trains IVF the same way); assignment
+    still covers every row."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -321,7 +328,10 @@ def knn_ivf(
     if not dim_row or not dim_row["d"]:
         raise ValueError("empty corpus")
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    train = corpus
+    if fit_fraction < 1.0:
+        train = corpus.sample(withReplacement=False, fraction=fit_fraction, seed=seed)
+    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     bc = corpus.sparkSession.sparkContext.broadcast(centroids)
@@ -329,13 +339,19 @@ def knn_ivf(
     def _cell_udf(probe: int):
         @F.pandas_udf("array<int>")
         def cells(vs: pd.Series) -> pd.Series:
-            cents = bc.value
-
-            def nearest(v):
-                d = ((cents - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
-                return np.argsort(d, kind="stable")[:probe].astype("int32").tolist()
-
-            return vs.map(nearest)
+            cents = bc.value  # (C, d)
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            # one batched (batch × cells) distance matrix per Arrow
+            # batch — BLAS GEMM, no per-row Python
+            v = np.stack(vs.map(lambda x: np.asarray(x, dtype=np.float64)))
+            d2 = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe].astype("int32")
+            return pd.Series([r.tolist() for r in order])
 
         return cells
 

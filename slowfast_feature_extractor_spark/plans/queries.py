@@ -974,6 +974,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_cells: probes every cell, so the candidate
+    set is the full corpus and the result reduces to the EXACT top-k —
+    a driver-checkable row for the IVF join/assignment machinery
+    (shares ORACLE_KNN_BRUTEFORCE)."""
+    return SIM.knn_ivf(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
+        k=5, n_cells=8, n_probe=8,
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: docs text as opaque bytes → mapInPandas
     metadata + deterministic fake feature (decode stubs documented in
@@ -1222,6 +1233,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
     "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
+    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),

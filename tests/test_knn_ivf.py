@@ -35,3 +35,21 @@ def test_ivf_recall_and_determinism(spark):
         for r in knn_ivf(emb, q, k=5, n_cells=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_ivf_sampled_fit_fullprobe_still_exact(spark):
+    """Quantizer fitted on a seeded sample: cell boundaries move, but
+    probing every cell still recovers the exact top-k (assignment covers
+    all rows regardless of where the quantizer trained)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = _queries(emb)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce_blocked(emb, q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(emb, q, k=5, n_cells=8, n_probe=8,
+                         fit_fraction=0.3).collect()
+    }
+    assert full == exact
