@@ -13,9 +13,13 @@ reference/just_test_v1.py:1446-1447).
 
 On Iceberg the ledger is a table and the data commit is a snapshot; on
 plain parquet (this sandbox) the ledger is one file per bucket, which is
-atomic at the filesystem level. The per-bucket loop is driver-side
-*orchestration* (thousands of buckets at 10^12 scale), each iteration a
-fully distributed write.
+atomic at the filesystem level. All pending buckets are written in ONE
+distributed pass (``write.partitionBy(bucket)`` with dynamic partition
+overwrite) — the upstream plan is computed exactly once regardless of
+bucket count, and per-bucket row counts for the ledger come from one
+groupBy over the committed output. A kill between the data write and a
+bucket's ledger commit re-runs that bucket and dynamically overwrites
+only its partition — idempotent because every stage is deterministic.
 """
 
 from __future__ import annotations
@@ -66,39 +70,68 @@ def run_with_checkpoint(
 
     ``max_buckets`` limits this invocation (used by tests to simulate a
     kill). Returns {"processed": [...], "skipped": [...], "rows": int}.
+
+    ``compute_fn`` must be bucket-local (its output for a bucket depends
+    only on that bucket's rows — true of any per-entity plan, since the
+    bucket is a hash of the entity key): all pending buckets are
+    computed and written in a SINGLE distributed pass, not a per-bucket
+    driver loop, so the upstream plan is evaluated once total.
+    ``wall_ms`` in each ledger record is the wall time of that single
+    pass (shared by the buckets it committed).
     """
     spark = df.sparkSession
+    # bucket ids are metadata (≤ thousands of ints at 10^12 scale) — the
+    # only driver-side materialization in this operator
     buckets = sorted(
         r[0] for r in df.select(bucket_col).distinct().collect()
     )
     done = ledger_read(spark, ledger_dir)
-    processed, skipped, total_rows = [], [], 0
-    for b in buckets:
-        if b in done:
-            skipped.append(b)
-            continue
-        if max_buckets is not None and len(processed) >= max_buckets:
-            break
-        t0 = time.monotonic()
-        part = df.filter(F.col(bucket_col) == F.lit(b))
-        if compute_fn is not None:
-            part = compute_fn(part)
-        path = os.path.join(output_dir, f"bucket={b}")
-        part.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
+    skipped = [b for b in buckets if b in done]
+    pending = [b for b in buckets if b not in done]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+    if not pending:
+        return {"processed": [], "skipped": skipped, "rows": 0}
+
+    t0 = time.monotonic()
+    part = df.filter(F.col(bucket_col).isin([int(b) for b in pending]))
+    if compute_fn is not None:
+        part = compute_fn(part)
+    # ONE distributed write; dynamic overwrite replaces only the pending
+    # bucket partitions, never the committed ones
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(output_dir)
+    )
+    wall_ms = round((time.monotonic() - t0) * 1000, 1)
+
+    counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(output_dir)
+        .filter(F.col(bucket_col).isin([int(b) for b in pending]))
+        .groupBy(bucket_col)
+        .count()
+        .collect()
+    }
+    total_rows = 0
+    for b in pending:
+        n = int(counts.get(b, 0))
         _ledger_commit(
             ledger_dir,
             {
                 "bucket": int(b),
-                "n_rows": int(n),
-                "wall_ms": round((time.monotonic() - t0) * 1000, 1),
+                "n_rows": n,
+                "wall_ms": wall_ms,
                 "batch_id": batch_id,
             },
         )
-        processed.append(b)
         total_rows += n
-    return {"processed": processed, "skipped": skipped, "rows": total_rows}
+    return {"processed": list(pending), "skipped": skipped, "rows": total_rows}
 
 
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_dir, "bucket=*"))
+    # partition discovery restores the bucket column from the
+    # bucket=<b> directory layout
+    return spark.read.parquet(output_dir)
