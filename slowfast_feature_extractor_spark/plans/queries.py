@@ -974,6 +974,96 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/P10/J3: bbox-crop analog — a deliberately-incomplete side
+    table of byte ranges left-joined on the page key selects the content
+    region of the raw bytes; rows without a region keep the full
+    document (reference/just_test_v1.py:139-175 crop_frame, 52-77 side-
+    file load, 192 missing-bbox tolerance). Hashes run over the HEX of
+    the sliced bytes so the oracle is byte-accurate (not char-sliced)."""
+    from slowfast_feature_extractor_spark.operators.regions import (
+        apply_content_regions,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    regions = d.filter(F.col("doc_id") % 3 == 0).select(
+        "url",
+        "warc_ts",
+        F.lit(5).alias("content_start"),
+        (F.lit(5) + F.floor(F.length("html") / 2)).cast("int").alias("content_end"),
+    )
+    out = apply_content_regions(d, regions)
+    return out.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("has_region"),
+        F.md5(F.hex("html_region")).alias("region_md5"),
+        F.length("html_region").cast("long").alias("region_bytes"),
+    )
+
+
+ORACLE_CONTENT_REGIONS = """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS nb FROM documents),
+r AS (SELECT doc_id, 5 AS cs, 5 + (nb // 2) AS ce FROM d WHERE doc_id % 3 = 0),
+j AS (
+  SELECT d.doc_id, r.cs IS NOT NULL AS has_region,
+         CASE WHEN r.cs IS NOT NULL
+              THEN substring(d.h, 2 * r.cs + 1, 2 * (r.ce - r.cs))
+              ELSE d.h END AS region_hex
+  FROM d LEFT JOIN r USING (doc_id)
+)
+SELECT doc_id, has_region, md5(region_hex) AS region_md5,
+       CAST(length(region_hex) // 2 AS BIGINT) AS region_bytes
+FROM j
+"""
+
+
+def q_resample_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: fixed-length temporal resample (the reference's
+    resample_to_20, just_test_v1.py:816-823, with pad-repeat-last /
+    zero-pad edges, test_net.py:126-136 + datasets/videoset.py:194-196):
+    each user's ordered cents series linear-interpolated to 8 points,
+    exploded for hashing."""
+    from slowfast_feature_extractor_spark.functions.vector import resample_udf
+
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value_cents").cast("double").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias("series")
+    )
+    out = agg.withColumn("vec", resample_udf(8)(F.col("series")))
+    return out.select(
+        "user_id", F.posexplode("vec").alias("idx", "value")
+    ).withColumn("value", F.round("value", 6))
+
+
+ORACLE_RESAMPLE_SERIES = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+s AS (SELECT user_id,
+             list(CAST(value_cents AS DOUBLE) ORDER BY ts, event_id) AS series
+      FROM ev GROUP BY user_id),
+v AS (SELECT user_id, {_resample_sql('series', 8)} AS vec FROM s)
+SELECT user_id, CAST(r.idx AS INT) AS idx,
+       round(vec[CAST(r.idx AS INT) + 1], 6) AS value
+FROM v, range(0, 8) AS r(idx)
+"""
+
+
 def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe = n_cells: probes every cell, so the candidate
     set is the full corpus and the result reduces to the EXACT top-k —
@@ -1234,6 +1324,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
     "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
     "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
+    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
+    "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
