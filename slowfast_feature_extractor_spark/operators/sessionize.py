@@ -31,6 +31,7 @@ def sessionize(
     gap_seconds: float = 30 * 24 * 3600.0,
     session_col: str = "session_id",
     index_col: str = "session_idx",
+    tiebreak: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Assign a session id per entity: a new session starts when the gap
     to the previous event strictly exceeds ``gap_seconds``.
@@ -39,14 +40,18 @@ def sessionize(
     ``{entity}#{idx}`` (the analog of the reference's constructed task
     keys ``patient_{p}_task_{a}_...``, reference/just_test_v1.py:1561).
     """
-    w = Window.partitionBy(entity).orderBy(F.col(ts).asc())
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+        order += [F.col(c).asc() for c in tb]
+    w = Window.partitionBy(entity).orderBy(*order)
     prev = F.lag(F.col(ts)).over(w)
     gap_us = int(round(gap_seconds * 1_000_000))
     is_new = F.when(
         prev.isNull() | ((epoch_us(F.col(ts)) - epoch_us(prev)) > F.lit(gap_us)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(entity).orderBy(F.col(ts).asc()).rowsBetween(
+    run = Window.partitionBy(entity).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     out = df.withColumn(index_col, F.sum(is_new).over(run))

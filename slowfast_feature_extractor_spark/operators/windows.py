@@ -28,9 +28,19 @@ from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
-def _entity_window(entity: Sequence[str] | str, ts: str) -> WindowSpec:
+def _entity_window(
+    entity: Sequence[str] | str, ts: str, tiebreak: Sequence[str] | str | None = None
+) -> WindowSpec:
+    """Entity partition ordered by ts. ``tiebreak`` appends deterministic
+    ordering columns (e.g. an event id) so ROWS frames are well-defined
+    when (entity, ts) is not unique; without it, callers must guarantee
+    unique (entity, ts) — the natural key of a crawl-snapshot table."""
     keys = [entity] if isinstance(entity, str) else list(entity)
-    return Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+        order += [F.col(c).asc() for c in tb]
+    return Window.partitionBy(*keys).orderBy(*order)
 
 
 def dual_rate_features(
@@ -44,6 +54,7 @@ def dual_rate_features(
     prefix_fast: str = "fast",
     prefix_slow: str = "slow",
     round_to: int | None = None,
+    tiebreak: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Attach fast (fine) + slow (coarse) trailing-window aggregates of
     ``measure`` to every row, plus leakage-audit columns.
@@ -58,7 +69,7 @@ def dual_rate_features(
     the audit asserts max_input_ts < ts everywhere when strict).
     """
     end = -1 if strict else 0
-    w = _entity_window(entity, ts)
+    w = _entity_window(entity, ts, tiebreak)
     out = df
     for p, k in ((prefix_fast, fast_rows), (prefix_slow, slow_rows)):
         frame = w.rowsBetween(end - (k - 1), end)
@@ -88,13 +99,14 @@ def windowed_vector(
     rows: int = 8,
     strict: bool = True,
     out_col: str = "vec",
+    tiebreak: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Trailing window of the last ``rows`` measures as an ordered array
     (oldest→newest) — the raw material for fixed-length resampling
     (functions.vector.resample_to_k), mirroring the reference's
     fixed-size frame buffers (reference/test_net.py:126-136)."""
     end = -1 if strict else 0
-    frame = _entity_window(entity, ts).rowsBetween(end - (rows - 1), end)
+    frame = _entity_window(entity, ts, tiebreak).rowsBetween(end - (rows - 1), end)
     return df.withColumn(out_col, F.collect_list(F.col(measure)).over(frame))
 
 
@@ -104,12 +116,13 @@ def lag_lead(
     ts: str = "warc_ts",
     cols: Sequence[str] = ("value",),
     offsets: Sequence[int] = (1,),
+    tiebreak: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Explicit lag/lead API (SURVEY.md W7). ``lag_{c}_{n}`` /
     ``lead_{c}_{n}`` per column and offset; null at history boundaries
     (the analog of the reference's zero-padded window edges,
     reference/datasets/videoset.py:194-196)."""
-    w = _entity_window(entity, ts)
+    w = _entity_window(entity, ts, tiebreak)
     out = df
     for c in cols:
         for n in offsets:
@@ -124,12 +137,13 @@ def backfill(
     ts: str = "warc_ts",
     cols: Sequence[str] = ("value",),
     suffix: str = "_filled",
+    tiebreak: Sequence[str] | str | None = None,
 ) -> DataFrame:
     """Forward-fill the last non-null value per entity in timestamp order
     (the reference's buffer-last-seen-per-key,
     reference/just_test_v1.py:842-845). Point-in-time safe: only earlier
     or current rows are read."""
-    frame = _entity_window(entity, ts).rowsBetween(
+    frame = _entity_window(entity, ts, tiebreak).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     out = df

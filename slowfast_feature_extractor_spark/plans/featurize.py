@@ -201,7 +201,8 @@ def pit_dual_rate_from(
 ) -> DataFrame:
     """Same plan over any events-shaped DataFrame
     (event_id, ts, user_id, event_type, value_cents)."""
-    ev = sessionize(ev, entity="user_id", ts="ts", gap_seconds=session_gap_s)
+    ev = sessionize(ev, entity="user_id", ts="ts", gap_seconds=session_gap_s,
+                    tiebreak="event_id")
 
     fast = dual_rate_features(
         ev,
@@ -211,12 +212,13 @@ def pit_dual_rate_from(
         fast_rows=fast_rows,
         slow_rows=slow_rows,
         strict=True,
+        tiebreak="event_id",
     )
 
     views = ev.filter(F.col("event_type") == "view")
     vw = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(-slow_rows, -1)  # up to slow_rows strictly-earlier views
     )
     view_feats = views.select(

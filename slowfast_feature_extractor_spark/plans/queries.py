@@ -74,9 +74,9 @@ sess AS (
   SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL
                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev)
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev)
 ),
 feats AS (
   SELECT *,
@@ -85,15 +85,15 @@ feats AS (
     round(avg(value_cents) OVER w_slow, 6) AS slow_avg,
     count(value_cents) OVER w_slow AS slow_cnt
   FROM sess
-  WINDOW w_fast AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
-         w_slow AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
+  WINDOW w_fast AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+         w_slow AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
 ),
 view_feats AS (
   SELECT user_id, ts,
     avg(value_cents) OVER vw AS slow_view_avg,
     count(value_cents) OVER vw AS slow_view_cnt
   FROM ev WHERE event_type = 'view'
-  WINDOW vw AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
+  WINDOW vw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
 ),
 clicks AS (
   SELECT user_id, ts, event_id, session_idx, fast_avg, fast_cnt, slow_avg, slow_cnt
@@ -207,6 +207,7 @@ def q_window_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dual_rate_features(
         _ev(spark, sf_dir), entity="user_id", ts="ts", measure="value_cents",
         fast_rows=8, slow_rows=64, strict=True, round_to=6,
+        tiebreak="event_id",
     )
     return out.select(
         "user_id", "ts", "event_id",
@@ -233,9 +234,9 @@ SELECT user_id, ts, event_id,
   max(ts) OVER w_hist AS max_input_ts
 FROM ev
 WINDOW
-  w_fast AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
-  w_slow AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING),
-  w_hist AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  w_fast AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+  w_slow AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING),
+  w_hist AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
 
 
@@ -276,19 +277,20 @@ FROM clicks c ASOF LEFT JOIN views v
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: gap-based sessionization (30-min revisit gap)."""
-    out = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts", gap_seconds=1800.0)
+    out = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts",
+                     gap_seconds=1800.0, tiebreak="event_id")
     return out.select("user_id", "ts", "event_id", "session_idx", "session_id")
 
 
 ORACLE_SESSIONIZE = f"""
 WITH ev AS ({_EV_CENTS_SQL}),
 lagged AS (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
 ),
 s AS (
   SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM lagged
 )
@@ -301,7 +303,8 @@ FROM s
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8+A9: per-session aggregates with the ordered event-type concat
     (the reference's sorted segment assembly)."""
-    ev = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts", gap_seconds=1800.0)
+    ev = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts",
+                    gap_seconds=1800.0, tiebreak="event_id")
     out = session_features(
         ev, entity="user_id", ts="ts", measure="value_cents",
         ordered_concat_cols=("event_type",),
@@ -317,12 +320,12 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSION_STATS = f"""
 WITH ev AS ({_EV_CENTS_SQL}),
 lagged AS (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM ev
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
 ),
 s AS (
   SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                      THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM lagged
 )
@@ -342,7 +345,7 @@ def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn(
         "v", F.when(F.col("event_type") != "error", F.col("value_cents"))
     )
-    out = backfill(ev, entity="user_id", ts="ts", cols=("v",))
+    out = backfill(ev, entity="user_id", ts="ts", cols=("v",), tiebreak="event_id")
     return out.select("user_id", "ts", "event_id", "v", F.col("v_filled"))
 
 
@@ -351,7 +354,7 @@ WITH ev AS ({_EV_CENTS_SQL})
 SELECT user_id, ts, event_id,
        CASE WHEN event_type <> 'error' THEN value_cents END AS v,
        last_value(CASE WHEN event_type <> 'error' THEN value_cents END IGNORE NULLS)
-         OVER (PARTITION BY user_id ORDER BY ts
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
 FROM ev
 """
@@ -360,8 +363,9 @@ FROM ev
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 lag/lead with boundary nulls + inter-event gap in micros."""
     ev = _ev(spark, sf_dir)
-    out = lag_lead(ev, entity="user_id", ts="ts", cols=("value_cents",), offsets=(1, 2))
-    w = Window.partitionBy("user_id").orderBy("ts")
+    out = lag_lead(ev, entity="user_id", ts="ts", cols=("value_cents",),
+                   offsets=(1, 2), tiebreak="event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = out.withColumn(
         "gap_us", epoch_us(F.col("ts")) - epoch_us(F.lag("ts", 1).over(w))
     )
@@ -380,7 +384,7 @@ SELECT user_id, ts, event_id,
   lag(value_cents, 2)  OVER w AS lag_value_cents_2,
   lead(value_cents, 2) OVER w AS lead_value_cents_2,
   epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
-FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 

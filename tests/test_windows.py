@@ -80,3 +80,31 @@ def test_backfill_and_lag_lead(spark):
     assert ll.iloc[2]["lag_value_1"] == 5.0
     assert ll.iloc[3]["lead_value_1"] == 7.0
     assert pd.isna(ll.iloc[4]["lead_value_1"])
+
+
+def test_duplicate_ts_tiebreak_deterministic(spark):
+    """Duplicate (entity, ts) rows: with a tiebreak the ROWS-frame
+    results are well-defined and stable across repartitionings."""
+    import datetime as dt
+
+    from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [("u", t, i, float(i)) for i in (3, 1, 2)] + [
+        ("u", dt.datetime(2024, 1, 2), 4, 4.0)
+    ]
+    df = spark.createDataFrame(rows, "e string, ts timestamp, eid long, v double")
+    outs = []
+    for parts in (1, 7):
+        out = dual_rate_features(
+            df.repartition(parts), entity="e", ts="ts", measure="v",
+            fast_rows=2, slow_rows=3, strict=True, tiebreak="eid",
+        )
+        outs.append(sorted(
+            (r.eid, r.fast_avg, r.fast_cnt, r.slow_cnt) for r in out.collect()
+        ))
+    assert outs[0] == outs[1]
+    by_eid = {r[0]: r for r in outs[0]}
+    # eid order within the tied ts is 1,2,3: eid=2 sees history [1]
+    assert by_eid[1][2] == 0 and by_eid[2][1] == 1.0 and by_eid[3][1] == 1.5
+    assert by_eid[4][1] == 2.5  # last two of the tied trio, in eid order
