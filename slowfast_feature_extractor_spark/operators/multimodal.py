@@ -78,7 +78,12 @@ def frame_sample(
                         rows["doc_id"].append(i)
                         rows["pathway"].append(pathway)
                         rows["frame_idx"].append(j)
-                        rows["frame_md5"].append(hashlib.md5(fr).hexdigest())
+                        # digest over the UPPERCASE HEX of the bytes, so SQL
+                        # oracles stay byte-accurate on non-ASCII content
+                        # (md5 in DuckDB/most engines takes strings only)
+                        rows["frame_md5"].append(
+                            hashlib.md5(fr.hex().upper().encode()).hexdigest()
+                        )
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
@@ -104,8 +109,12 @@ def media_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") 
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": n.astype("int64"),
+                    # md5 of the uppercase hex (portable to string-only
+                    # md5 implementations, byte-accurate on any content)
                     "digest": media.map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                        lambda b: hashlib.md5(b.hex().upper().encode()).hexdigest()
+                        if b is not None
+                        else None
                     ),
                 }
             )

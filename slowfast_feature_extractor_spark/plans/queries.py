@@ -1090,12 +1090,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MULTIMODAL_META = """
-SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest,
-       CAST(strlen(text) * 1 % 97 AS DOUBLE) AS f1,
-       CAST(strlen(text) * 2 % 97 AS DOUBLE) AS f2,
-       CAST(strlen(text) * 3 % 97 AS DOUBLE) AS f3,
-       CAST(strlen(text) * 4 % 97 AS DOUBLE) AS f4
-FROM documents
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+                  hex(encode(text)) AS h FROM documents)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, md5(h) AS digest,
+       CAST(nb * 1 % 97 AS DOUBLE) AS f1,
+       CAST(nb * 2 % 97 AS DOUBLE) AS f2,
+       CAST(nb * 3 % 97 AS DOUBLE) AS f3,
+       CAST(nb * 4 % 97 AS DOUBLE) AS f4
+FROM d
 """
 
 
@@ -1266,19 +1268,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         frame_bytes=64, num_frames=8, alpha=4)
 
 
-# stride sampling reproduced in pure SQL: frames of 64 bytes; stride =
+# stride sampling reproduced in pure SQL over the HEX encoding (2 hex
+# chars per byte, so 64-byte frames = 128-char hex slices — byte-accurate
+# for any content, not char-sliced): frames of 64 bytes; stride =
 # max(1, nf div k); picked = frames[::stride][:k]; pad-repeat-last.
 ORACLE_MULTIMODAL_FRAMES = """
 WITH p AS (SELECT * FROM (VALUES ('fast', 8), ('slow', 2)) AS t(pathway, k)),
 j AS (SELECT unnest(range(0, 8)) AS frame_idx),
 base AS (
-  SELECT doc_id, text,
-         CASE WHEN strlen(text) = 0 THEN 1
-              ELSE CAST(ceil(strlen(text) / 64.0) AS INT) END AS nf
+  SELECT doc_id, hex(encode(text)) AS h,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) END AS nf
   FROM documents
 ),
 s AS (
-  SELECT b.doc_id, b.text, b.nf, p.pathway, p.k, j.frame_idx,
+  SELECT b.doc_id, b.h, b.nf, p.pathway, p.k, j.frame_idx,
          greatest(1, b.nf // p.k) AS stride
   FROM base b CROSS JOIN p CROSS JOIN j
   WHERE j.frame_idx < p.k
@@ -1289,7 +1293,7 @@ idx AS (
   FROM s
 )
 SELECT doc_id, pathway, CAST(frame_idx AS INT) AS frame_idx,
-       md5(substr(text, pick * stride * 64 + 1, 64)) AS frame_md5
+       md5(substr(h, pick * stride * 128 + 1, 128)) AS frame_md5
 FROM idx
 """
 

@@ -28,7 +28,7 @@ def media(spark):
 def test_media_meta(spark, media):
     out = {r["doc_id"]: r for r in media_meta(media).collect()}
     assert out[1]["n_bytes"] == 640
-    assert out[1]["digest"] == hashlib.md5(b"A" * 640).hexdigest()
+    assert out[1]["digest"] == hashlib.md5((b"A" * 640).hex().upper().encode()).hexdigest()
     assert out[3]["n_bytes"] == 0
     assert out[1]["f1"] == float((640 * 1) % 97)
 
@@ -39,7 +39,7 @@ def test_frame_sample_dual_rate(spark, media):
     fast = g1[g1.pathway == "fast"].sort_values("frame_idx")
     slow = g1[g1.pathway == "slow"].sort_values("frame_idx")
     assert len(fast) == 8 and len(slow) == 2  # NUM_FRAMES vs NUM_FRAMES/ALPHA
-    assert fast.frame_md5.iloc[0] == hashlib.md5(b"A" * 64).hexdigest()
+    assert fast.frame_md5.iloc[0] == hashlib.md5((b"A" * 64).hex().upper().encode()).hexdigest()
     # short media pads by repeating the last frame
     g2 = out[(out.doc_id == 2) & (out.pathway == "fast")].sort_values("frame_idx")
     assert len(g2) == 8
@@ -52,3 +52,25 @@ def test_frame_sample_dual_rate(spark, media):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_frames_oracle_byte_accurate_on_non_ascii(spark, tmp_path):
+    """The frames/meta oracles slice the HEX encoding (2 chars/byte), so
+    they must agree with the engine's byte slicing even when the text is
+    multi-byte UTF-8 — the exact case a char-sliced oracle gets wrong."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.compare import compare
+    from slowfast_feature_extractor_spark.plans.queries import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["héllo wörld ü" * 13, "日本語のテキスト" * 9, "plain ascii " * 11],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    for name in ("multimodal_frames", "multimodal_meta"):
+        fn, sql = REGISTRY[name]
+        ok, msg = compare(spark, str(tmp_path), fn, sql)
+        assert ok, f"{name}: {msg}"
