@@ -31,6 +31,22 @@ def rater_agreement(t1: Column, t2: Column) -> Column:
     )
 
 
+def rater_status(t1: Column, t2: Column) -> Column:
+    """Tri-state companion to :func:`rater_agreement`, preserving the
+    reference's ``'no_match'`` sentinel distinguishably
+    (reference/just_test_v1.py:1338-1372 returns the string 'no_match'
+    when both raters are present but disagree): 'match' (agree),
+    'single' (exactly one rater), 'no_match' (present but disagree),
+    'missing' (neither). The typed rating stays in the
+    :func:`rater_agreement` column; this column says WHY it is null."""
+    return (
+        F.when(t1.isNotNull() & t2.isNotNull() & (t1 == t2), F.lit("match"))
+        .when(t1.isNotNull() & t2.isNotNull(), F.lit("no_match"))
+        .when(t1.isNotNull() | t2.isNotNull(), F.lit("single"))
+        .otherwise(F.lit("missing"))
+    )
+
+
 def label_remap(col: Column, mapping: Mapping[int, int]) -> Column:
     expr = F.lit(None)
     first = True

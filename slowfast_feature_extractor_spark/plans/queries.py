@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from slowfast_feature_extractor_spark.functions import textstats as TS
 from slowfast_feature_extractor_spark.functions.extraction import extract_text_udf
-from slowfast_feature_extractor_spark.functions.keys import label_remap, rater_agreement
+from slowfast_feature_extractor_spark.functions.keys import (
+    label_remap,
+    rater_agreement,
+    rater_status,
+)
 from slowfast_feature_extractor_spark.functions.timeutil import epoch_us
 from slowfast_feature_extractor_spark.functions.vector import cosine_similarity
 from slowfast_feature_extractor_spark.operators import dedup as DD
@@ -449,6 +453,7 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         t1.alias("t1"),
         t2.alias("t2"),
         rater_agreement(t1, t2).alias("rating"),
+        rater_status(t1, t2).alias("status"),
     )
     return out.withColumn(
         "label", label_remap(F.col("rating"), {0: 10, 1: 20, 2: 30})
@@ -467,10 +472,15 @@ agreed AS (
     CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 = t2 THEN t1
          WHEN t1 IS NOT NULL AND t2 IS NULL THEN t1
          WHEN t1 IS NULL AND t2 IS NOT NULL THEN t2
-    END AS rating
+    END AS rating,
+    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 = t2 THEN 'match'
+         WHEN t1 IS NOT NULL AND t2 IS NOT NULL THEN 'no_match'
+         WHEN t1 IS NOT NULL OR t2 IS NOT NULL THEN 'single'
+         ELSE 'missing'
+    END AS status
   FROM r
 )
-SELECT event_id, t1, t2, rating,
+SELECT event_id, t1, t2, rating, status,
   CASE rating WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 30 END AS label
 FROM agreed
 """
