@@ -8,11 +8,13 @@ is featurized against the state BEFORE being appended (strictly-earlier
 inputs only — the zero-leakage rule holds in flight), and the watermark
 bounds state for entities that go quiet.
 
-Ordering: within a micro-batch rows are sorted by ts; across batches the
-watermark drops late data, and anything late-but-within-watermark is
-featurized against state as-of arrival — the same policy the reference's
-streaming buffer applies (reference/just_test_v1.py:858-872 processes in
-arrival order).
+Ordering: within a micro-batch rows are sorted by ts; across batches
+beyond-watermark rows are dropped INSIDE the operator with an observable
+counter (applyInPandasWithState does not pre-filter late input — the
+watermark only drives timeouts), and anything late-but-within-watermark
+is featurized against state as-of arrival — the same policy the
+reference's streaming buffer applies (reference/just_test_v1.py:858-872
+processes in arrival order).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def streaming_dual_rate(
     fast_rows: int = 8,
     slow_rows: int = 64,
     watermark: str = "10 seconds",
+    late_counter=None,
 ) -> DataFrame:
     """event stream → feature stream
     (entity, ts, fast_avg, fast_cnt, slow_avg, slow_cnt, n_hist_rows)."""
@@ -55,7 +58,20 @@ def streaming_dual_rate(
             total_hist = int(total_hist)
         else:
             hist_ts, hist_v, total_hist = [], [], 0
-        rows = pd.concat(list(pdfs)).sort_values(ts)
+        rows = pd.concat(list(pdfs))
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and len(rows):
+            late = rows[ts].map(
+                lambda t: int(pd.Timestamp(t).value // 1_000_000) < wm_ms
+            )
+            n_late = int(late.sum())
+            if n_late:
+                if late_counter is not None:
+                    late_counter.add(n_late)
+                rows = rows[~late]
+        if not len(rows):
+            return
+        rows = rows.sort_values(ts)
         out = {c: [] for c in (ts, "fast_avg", "fast_cnt", "slow_avg", "slow_cnt", "n_hist_rows")}
         for t, v in zip(rows[ts], rows[measure]):
             fast = hist_v[-fast_rows:]

@@ -13,9 +13,12 @@ This is the same semantics expressed on Spark's engine-managed state:
 - the watermark plays the staleness counter's role: when event time
   passes ``session_end + gap``, the state times out and the open session
   is flushed (the reference's force-flush);
-- late events beyond the watermark are dropped by the engine — the
-  reference silently loses post-flush segments; here the drop is
-  explicit, bounded, and observable in the streaming metrics.
+- late events beyond the watermark are dropped INSIDE the operator
+  (applyInPandasWithState does not pre-filter late rows — the watermark
+  only drives timeouts — so without this check a late event would merge
+  into a NEWER session) and counted in ``late_counter``: the reference
+  silently loses post-flush segments; here the drop is explicit,
+  bounded, and observable (streaming/metrics.py).
 
 Batch parity: emitted sessions equal ``operators.sessionize`` output for
 all sessions that are *closed* by data or timeout (tested in
@@ -40,9 +43,14 @@ def streaming_sessionize(
     measure: str = "value",
     gap_seconds: float = 1800.0,
     watermark: str = "10 seconds",
+    late_counter=None,
 ) -> DataFrame:
     """events stream → closed-session stream
-    (entity, session_start, session_end, n_revisits, measure_sum)."""
+    (entity, session_start, session_end, n_revisits, measure_sum).
+
+    ``late_counter``: optional Spark accumulator
+    (streaming/metrics.make_late_counter) incremented per dropped
+    beyond-watermark row."""
     gap_us = int(gap_seconds * 1_000_000)
     out_schema = (
         f"{entity} string, session_start timestamp, session_end timestamp, "
@@ -72,6 +80,19 @@ def streaming_sessionize(
             return
 
         rows = pd.concat(list(pdfs))
+        # drop-with-metric: rows behind the watermark never touch state
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0 and len(rows):
+            late = rows[ts].map(
+                lambda t: int(pd.Timestamp(t).value // 1_000_000) < wm_ms
+            )
+            n_late = int(late.sum())
+            if n_late:
+                if late_counter is not None:
+                    late_counter.add(n_late)
+                rows = rows[~late]
+        if not len(rows):
+            return
         rows = rows.sort_values(ts)
         cur = list(state.get) if state.exists else None
         out = []

@@ -83,3 +83,64 @@ def test_streaming_matches_batch_closed_sessions(spark, stream_dir, tmp_path):
         assert want_all[key] == val
     # and the overwhelming majority of batch sessions were emitted
     assert len(got) >= len(want_all) * 0.5
+
+
+def test_late_drop_metric_counts_beyond_watermark_event(spark, tmp_path):
+    """Inject an event far behind the advanced watermark: the operator
+    drops it (the reference's silent loss, made explicit) and the drop is
+    OBSERVABLE via the late counter — and crucially the late event must
+    NOT merge into a newer session (applyInPandasWithState does not
+    pre-filter late rows, so without the in-operator drop it would)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.streaming.metrics import make_late_counter
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(name, ts_list, mtime):
+        pd.DataFrame(
+            {"user_id": ["u"] * len(ts_list),
+             "ts": [pd.Timestamp(t) for t in ts_list],
+             "value": [1.0] * len(ts_list)}
+        ).to_parquet(
+            src / name, index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(src / name, (mtime, mtime))
+
+    t0 = time.time()
+    put("1.parquet", ["2024-01-01 00:00:00", "2024-01-01 00:10:00"], t0)
+    put("2.parquet", ["2024-01-02 12:00:00"], t0 + 10)  # advances watermark by >1 day
+    put("3.parquet", ["2024-01-01 00:20:00"], t0 + 20)  # far beyond watermark -> drop
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counter = make_late_counter(spark)
+    out = streaming_sessionize(
+        stream, entity="user_id", ts="ts", measure="value",
+        gap_seconds=GAP, watermark="10 seconds", late_counter=counter,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_drop_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert counter.value == 1
+    # the dropped event contaminated nothing: the first session closed
+    # with exactly its two on-time rows
+    sessions = {
+        (str(r.session_start), str(r.session_end)): r.n_revisits
+        for r in spark.sql("SELECT * FROM late_drop_stream").collect()
+    }
+    assert sessions[("2024-01-01 00:00:00", "2024-01-01 00:10:00")] == 2
