@@ -37,10 +37,21 @@ def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
     cores exist. When (and only when) the scan has fewer partitions than
     the cluster's parallelism, round-robin repartition it. Stages that
     shuffle anyway (groupBy/window/join) should NOT use this — their
-    exchange already redistributes."""
+    exchange already redistributes.
+
+    The partition probe via ``df.rdd`` forces an eager plan→RDD
+    conversion, so it is gated behind a cheap file-count check: a scan
+    with enough input files splits natively and returns untouched —
+    production multi-file tables never pay the RDD conversion."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    threshold = max(2, target // 2)
+    try:
+        if len(df.inputFiles()) >= threshold:
+            return df
+    except Exception:
+        pass  # non-file source: fall through to the partition probe
+    if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
 
