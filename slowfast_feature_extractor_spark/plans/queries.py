@@ -984,7 +984,8 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate + model-based → rows-only driver check (no SQL oracle);
     recall vs the exact oracle is asserted in tests."""
     return SIM.knn_ivf(
-        _emb(spark, sf_dir), _queries_subset(spark, sf_dir), k=5, n_cells=8, n_probe=4
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
+        k=5, n_cells=8, n_probe=4, fit_fraction=0.25,
     )
 
 
@@ -1085,7 +1086,7 @@ def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shares ORACLE_KNN_BRUTEFORCE)."""
     return SIM.knn_ivf(
         _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
-        k=5, n_cells=8, n_probe=8,
+        k=5, n_cells=8, n_probe=8, fit_fraction=0.25,
     )
 
 
