@@ -110,6 +110,37 @@ def windowed_vector(
     return df.withColumn(out_col, F.collect_list(F.col(measure)).over(frame))
 
 
+def span_sample(arr, num_frames: int, stride: int, align: str = "center"):
+    """W4 contiguous-span sampling (reference/hiera_test.py:109-125,
+    videoMAE_test.py:105-122): pick ``num_frames`` elements from an
+    ordered array at fixed ``stride``, starting at the centered offset
+    ``(len - num_frames*stride) // 2`` (``align='center'``, the eval
+    path; 'start'/'end' for the boundary variants — random start is
+    train-only, out of scope per SURVEY §2.5). Short arrays clamp to the
+    last element (the reference's pad-repeat-last,
+    reference/test_net.py:126-136); empty arrays stay empty. Pure
+    Column expression — no UDF, fully codegen'd."""
+    span = num_frames * stride
+    vlen = F.size(arr)
+    if align == "center":
+        start = F.when(
+            vlen >= span, F.floor((vlen - F.lit(span)) / 2).cast("int")
+        ).otherwise(F.lit(0))
+    elif align == "start":
+        start = F.lit(0)
+    elif align == "end":
+        start = F.greatest(F.lit(0), (vlen - F.lit(span)).cast("int"))
+    else:
+        raise ValueError(f"unknown align: {align!r}")
+    idxs = F.transform(
+        F.sequence(F.lit(0), F.lit(num_frames - 1)),
+        lambda i: F.least(start + i * F.lit(stride), vlen - 1),
+    )
+    picked = F.transform(idxs, lambda j: F.element_at(arr, j + 1))
+    # empty input -> empty output of the same element type
+    return F.when(vlen == 0, F.slice(arr, 1, 0)).otherwise(picked)
+
+
 def lag_lead(
     df: DataFrame,
     entity: str = "url",

@@ -1079,6 +1079,154 @@ FROM v, range(0, 8) AS r(idx)
 """
 
 
+def q_featurize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 granularity-as-parameter (the reference's task-level variant,
+    reference/task_slowfast.py:1389: concatenate a task's segments, then
+    sample): sessionize, ordered-concat each session's series, resample
+    to a fixed-length session vector, explode for hashing."""
+    from slowfast_feature_extractor_spark.functions.vector import resample_udf
+
+    ev = sessionize(
+        _ev(spark, sf_dir), entity="user_id", ts="ts",
+        gap_seconds=1800.0, tiebreak="event_id",
+    )
+    agg = ev.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_revisits"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value_cents").cast("double").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias("series"),
+    )
+    out = agg.withColumn("vec", resample_udf(4)(F.col("series")))
+    return out.select(
+        "user_id", "session_idx", "n_revisits",
+        F.posexplode("vec").alias("idx", "value"),
+    ).withColumn("value", F.round("value", 6))
+
+
+ORACLE_FEATURIZE_SESSIONS = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+),
+s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM lagged
+),
+g AS (
+  SELECT user_id, session_idx, count(*) AS n_revisits,
+         list(CAST(value_cents AS DOUBLE) ORDER BY ts, event_id) AS series
+  FROM s GROUP BY user_id, session_idx
+),
+v AS (SELECT user_id, session_idx, n_revisits,
+             {_resample_sql('series', 4)} AS vec FROM g)
+SELECT user_id, session_idx, n_revisits, CAST(r.idx AS INT) AS idx,
+       round(vec[CAST(r.idx AS INT) + 1], 6) AS value
+FROM v, range(0, 4) AS r(idx)
+"""
+
+
+def q_span_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: contiguous-span sampling with centered start
+    (reference/hiera_test.py:109-125) — 8 values at stride 2 from each
+    user's ordered series, clamp-to-last on short series, exploded."""
+    from slowfast_feature_extractor_spark.operators.windows import span_sample
+
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value_cents").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias("series")
+    )
+    out = agg.withColumn("picked", span_sample(F.col("series"), num_frames=8, stride=2))
+    return out.select("user_id", F.posexplode("picked").alias("idx", "value"))
+
+
+ORACLE_SPAN_SAMPLE = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+s AS (SELECT user_id, list(value_cents ORDER BY ts, event_id) AS series
+      FROM ev GROUP BY user_id),
+p AS (
+  SELECT user_id, series, len(series) AS n,
+         CASE WHEN len(series) >= 16
+              THEN CAST(floor((len(series) - 16) / 2) AS INT) ELSE 0 END AS start
+  FROM s
+)
+SELECT user_id, CAST(r.idx AS INT) AS idx,
+       series[least(start + CAST(r.idx AS INT) * 2, n - 1) + 1] AS value
+FROM p, range(0, 8) AS r(idx)
+WHERE n > 0
+"""
+
+
+def q_window_tri_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 multi-layer fusion: THREE window granularities (the
+    reference's s3/s4/s5 layer means, faster_rcnn_slowfast_finetune.py:
+    508-530) computed over ONE entity partition + sort, fused into a
+    single array column (concat order fine||mid||coarse mirroring
+    models/head_helper.py:19)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fine = w.rowsBetween(-8, -1)
+    mid = w.rowsBetween(-32, -1)
+    coarse = w.rowsBetween(-128, -1)
+    f1 = F.round(F.avg("value_cents").over(fine), 6)
+    f2 = F.round(F.avg("value_cents").over(mid), 6)
+    f3 = F.round(F.avg("value_cents").over(coarse), 6)
+    return ev.select(
+        "user_id", "ts", "event_id",
+        f1.alias("f_fine"), f2.alias("f_mid"), f3.alias("f_coarse"),
+        # fused vector rendered as a canonical string: array-typed
+        # columns round-trip differently through pandas in the two
+        # engines (numpy array vs list), which would break the value
+        # hash even when elements match
+        F.format_string(
+            "%.6f|%.6f|%.6f",
+            F.coalesce(f1, F.lit(0.0)),
+            F.coalesce(f2, F.lit(0.0)),
+            F.coalesce(f3, F.lit(0.0)),
+        ).alias("fused"),
+    )
+
+
+ORACLE_WINDOW_TRI_RATE = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT user_id, ts, event_id,
+  round(avg(value_cents) OVER w1, 6) AS f_fine,
+  round(avg(value_cents) OVER w2, 6) AS f_mid,
+  round(avg(value_cents) OVER w3, 6) AS f_coarse,
+  printf('%.6f|%.6f|%.6f',
+         COALESCE(round(avg(value_cents) OVER w1, 6), 0.0),
+         COALESCE(round(avg(value_cents) OVER w2, 6), 0.0),
+         COALESCE(round(avg(value_cents) OVER w3, 6), 0.0)) AS fused
+FROM ev
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+  w2 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING),
+  w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 128 PRECEDING AND 1 PRECEDING)
+"""
+
+
 def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe = n_cells: probes every cell, so the candidate
     set is the full corpus and the result reduces to the EXACT top-k —
@@ -1345,6 +1493,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
     "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
+    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
+    "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
+    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),

@@ -108,3 +108,39 @@ def test_duplicate_ts_tiebreak_deterministic(spark):
     # eid order within the tied ts is 1,2,3: eid=2 sees history [1]
     assert by_eid[1][2] == 0 and by_eid[2][1] == 1.0 and by_eid[3][1] == 1.5
     assert by_eid[4][1] == 2.5  # last two of the tied trio, in eid order
+
+
+def test_span_sample_semantics(spark):
+    """Centered contiguous-span sampling (reference/hiera_test.py:109-125):
+    start=(len-span)//2, fixed stride, clamp-to-last on short inputs,
+    empty stays empty."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.windows import span_sample
+
+    rows = [
+        (1, list(range(100))),   # long: span 16 centered at 42
+        (2, [7]),                # single: all picks clamp to 7
+        (3, []),                 # empty
+        (4, list(range(10))),    # shorter than span: start 0, clamp tail
+    ]
+    df = spark.createDataFrame(rows, "id long, arr array<int>")
+    got = {
+        r.id: r.picked
+        for r in df.select(
+            "id", span_sample(F.col("arr"), num_frames=8, stride=2).alias("picked")
+        ).collect()
+    }
+    assert got[1] == [42, 44, 46, 48, 50, 52, 54, 56]
+    assert got[2] == [7] * 8
+    assert got[3] == []
+    assert got[4] == [0, 2, 4, 6, 8, 9, 9, 9]
+    # align variants
+    got_start = df.filter("id = 1").select(
+        span_sample(F.col("arr"), 8, 2, align="start").alias("p")
+    ).first().p
+    got_end = df.filter("id = 1").select(
+        span_sample(F.col("arr"), 8, 2, align="end").alias("p")
+    ).first().p
+    assert got_start == [0, 2, 4, 6, 8, 10, 12, 14]
+    assert got_end == [84, 86, 88, 90, 92, 94, 96, 98]
