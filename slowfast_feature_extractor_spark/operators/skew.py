@@ -1,0 +1,158 @@
+"""Skew-robust trailing windows: range-partition-with-carry.
+
+The plain window operators partition by entity, so ONE hot url (a
+million-revisit page at Common-Crawl scale) lands its whole history in
+ONE task — the open risk flagged in round 1. This operator splits every
+entity's timeline into time chunks (default: day — the same axis the
+Iceberg layout partitions on, SURVEY §4) and runs the trailing-window
+family per (entity, chunk) instead, so a hot entity parallelizes across
+its chunks.
+
+Correctness is restored by a *carry*: a ROWS frame of ≤ ``slow_rows``
+ending inside chunk k can reach back at most ``slow_rows`` rows, so it
+is fully determined by the last ``slow_rows`` rows before the chunk.
+Those carry rows are computed from per-chunk *tails* (the last
+``slow_rows`` rows of each chunk — a distributed window over
+(entity, chunk)) folded sequentially per entity in ``applyInPandas``:
+the sequential work shrinks from O(rows-per-entity) to
+O(chunks × slow_rows) — tails only, never the full history. Unbounded
+aggregates (``n_hist_rows``) come from a per-chunk prefix-count table
+(cumsum over the tiny (entity, chunk, count) relation).
+
+Equality with the single-partition operator is exact and tested
+(tests/test_skew.py): same columns, same values, any chunking.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dual_rate_features_chunked(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    strict: bool = True,
+    tiebreak: str | None = None,
+    chunk: Column | None = None,
+    round_to: int | None = None,
+    prefix_fast: str = "fast",
+    prefix_slow: str = "slow",
+) -> DataFrame:
+    """Skew-robust equivalent of ``windows.dual_rate_features``.
+
+    Returns a slim feature table keyed by (entity, ts[, tiebreak]) with
+    the same aggregate columns ({fast,slow}_{avg,sum,min,max,cnt},
+    n_hist_rows, max_input_ts) — exactly equal to the single-partition
+    operator's values. ``chunk`` defaults to ``to_date(ts)``; any
+    deterministic, per-entity-monotone-in-ts expression works (coarser
+    chunks = fewer carries, finer = more parallelism on hot entities).
+
+    Requires ``fast_rows <= slow_rows`` (the carry holds ``slow_rows``
+    rows, which bounds every frame).
+    """
+    if fast_rows > slow_rows:
+        raise ValueError("fast_rows must be <= slow_rows (carry bound)")
+    end = -1 if strict else 0
+    chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+
+    keep = [entity, *order_cols, measure]
+    base = df.select(*keep).withColumn("__chunk", chunk_expr)
+
+    # --- per-chunk tails: last slow_rows rows of each (entity, chunk) —
+    # a distributed window; hot entities already split across chunks here
+    w_desc = Window.partitionBy(entity, "__chunk").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    tails = (
+        base.withColumn("__rn", F.row_number().over(w_desc))
+        .filter(F.col("__rn") <= slow_rows)
+        .drop("__rn")
+    )
+
+    # --- fold tails per entity: carry for chunk k = last slow_rows rows
+    # before chunk k (sequential only over chunks × slow_rows tail rows)
+    carry_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in tails.schema.fields]
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__chunk", *order_cols], kind="mergesort")
+        out = []
+        carry = pdf.iloc[0:0]
+        for c, rows in pdf.groupby("__chunk", sort=True):
+            if len(carry):
+                tgt = carry.copy()
+                tgt["__chunk"] = c
+                out.append(tgt)
+            carry = pd.concat([carry, rows]).iloc[-slow_rows:]
+        if not out:
+            return pdf.iloc[0:0]
+        return pd.concat(out)
+
+    carries = tails.groupBy(entity).applyInPandas(_fold, schema=carry_schema)
+
+    # --- per-chunk prefix counts for the unbounded aggregate
+    counts = base.groupBy(entity, "__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_chunks = (
+        Window.partitionBy(entity)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = counts.select(
+        entity,
+        "__chunk",
+        F.coalesce(F.sum("__cnt").over(w_chunks), F.lit(0)).alias("__prefix"),
+    )
+
+    # --- merged window pass over (entity, chunk): carry rows sort first
+    # (they come from strictly earlier chunks, hence earlier ts)
+    merged = base.withColumn("__carry", F.lit(0)).unionByName(
+        carries.withColumn("__carry", F.lit(1))
+    )
+    w = Window.partitionBy(entity, "__chunk").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    out = merged
+    m = F.col(measure)
+    for p, k in ((prefix_fast, fast_rows), (prefix_slow, slow_rows)):
+        frame = w.rowsBetween(end - (k - 1), end)
+        avg, s = F.avg(m).over(frame), F.sum(m).over(frame)
+        if round_to is not None:
+            avg, s = F.round(avg, round_to), F.round(s, round_to)
+        out = (
+            out.withColumn(f"{p}_avg", avg)
+            .withColumn(f"{p}_sum", s)
+            .withColumn(f"{p}_min", F.min(m).over(frame))
+            .withColumn(f"{p}_max", F.max(m).over(frame))
+            .withColumn(f"{p}_cnt", F.count(m).over(frame))
+        )
+    hist = w.rowsBetween(Window.unboundedPreceding, end)
+    out = (
+        out.withColumn(
+            "__local_hist",
+            F.count(F.when(F.col("__carry") == 0, F.lit(1))).over(hist),
+        )
+        .withColumn("max_input_ts", F.max(F.col(ts)).over(hist))
+        .filter(F.col("__carry") == 0)
+    )
+    # join the tiny prefix relation on the window's own partition keys —
+    # the big side keeps its partitioning (no extra exchange)
+    out = out.join(prefix, [entity, "__chunk"], "left").withColumn(
+        "n_hist_rows", F.coalesce(F.col("__prefix"), F.lit(0)) + F.col("__local_hist")
+    )
+    return out.select(
+        entity,
+        *order_cols,
+        measure,
+        *[f"{p}_{a}" for p in (prefix_fast, prefix_slow)
+          for a in ("avg", "sum", "min", "max", "cnt")],
+        "n_hist_rows",
+        "max_input_ts",
+    )

@@ -244,6 +244,27 @@ WINDOW
 """
 
 
+def q_window_dual_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path of W2/W3: range-partition-with-carry (operators/skew.py)
+    — hot entities split across day chunks, bounded tails carried —
+    checked against the SAME oracle as window_dual_rate (results are
+    exactly equal by construction)."""
+    from slowfast_feature_extractor_spark.operators.skew import (
+        dual_rate_features_chunked,
+    )
+
+    out = dual_rate_features_chunked(
+        _ev(spark, sf_dir), entity="user_id", ts="ts", measure="value_cents",
+        fast_rows=8, slow_rows=64, strict=True, round_to=6, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "ts", "event_id",
+        "fast_avg", "fast_sum", "fast_min", "fast_max", "fast_cnt",
+        "slow_avg", "slow_sum", "slow_min", "slow_max", "slow_cnt",
+        "n_hist_rows", "max_input_ts",
+    )
+
+
 def _asof_clicks_views(spark, sf_dir, allow_exact: bool) -> DataFrame:
     ev = _ev(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1461,6 +1482,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
+    "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
     "asof_join": (q_asof_join, _oracle_asof(">=")),
     "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),

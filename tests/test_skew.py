@@ -51,3 +51,77 @@ def test_salted_buckets_spread_hot_key(spark, skewed):
     )
     n = spread.filter(F.col("url") == "hot").select("bucket").distinct().count()
     assert n == 16
+
+
+def _canon_feats(df, entity):
+    cols = [entity, "ts", "event_id"] if "event_id" in df.columns else [entity, "warc_ts"]
+    rows = df.collect()
+    def key(r):
+        return tuple(str(r[c]) for c in cols)
+    out = {}
+    for r in rows:
+        out[key(r)] = tuple(
+            r[c] for c in (
+                "fast_avg", "fast_sum", "fast_min", "fast_max", "fast_cnt",
+                "slow_avg", "slow_sum", "slow_min", "slow_max", "slow_cnt",
+                "n_hist_rows", "max_input_ts",
+            )
+        )
+    return out
+
+
+def test_chunked_windows_equal_single_partition(spark):
+    """Range-partition-with-carry == plain entity-partitioned windows,
+    exactly, on real fixture data chunked by day."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.skew import (
+        dual_rate_features_chunked,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    want = _canon_feats(
+        dual_rate_features(
+            ev, entity="user_id", ts="ts", measure="value_cents",
+            fast_rows=8, slow_rows=64, strict=True, tiebreak="event_id",
+        ).select(
+            "user_id", "ts", "event_id",
+            "fast_avg", "fast_sum", "fast_min", "fast_max", "fast_cnt",
+            "slow_avg", "slow_sum", "slow_min", "slow_max", "slow_cnt",
+            "n_hist_rows", "max_input_ts",
+        ),
+        "user_id",
+    )
+    got = _canon_feats(
+        dual_rate_features_chunked(
+            ev, entity="user_id", ts="ts", measure="value_cents",
+            fast_rows=8, slow_rows=64, strict=True, tiebreak="event_id",
+        ),
+        "user_id",
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_chunked_windows_split_hot_entity(spark, skewed):
+    """The hot entity's window work runs partitioned by (entity, chunk):
+    correctness holds and the plan partitions on the chunked key."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.skew import (
+        dual_rate_features_chunked,
+    )
+
+    out = dual_rate_features_chunked(
+        skewed, entity="url", ts="warc_ts", measure="value",
+        fast_rows=8, slow_rows=64, strict=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan and "hashpartitioning(url" in plan
+    hot = out.filter(F.col("url") == "hot")
+    assert hot.filter(F.col("slow_cnt") == 64).count() == 5000 - 64
+    last = hot.orderBy(F.col("warc_ts").desc()).limit(1).collect()[0]
+    assert last["fast_avg"] == pytest.approx(sum(range(4991, 4999)) / 8)
+    assert last["n_hist_rows"] == 4999
