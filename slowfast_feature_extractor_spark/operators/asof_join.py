@@ -30,10 +30,14 @@ wanting a specific winner should pre-deduplicate the right side).
 Scale notes (10^12-row target): the plan is one shuffle hash-partitioned
 on the by-keys with an in-partition sort — the same cost envelope as a
 sort-merge join. Hot entities (urls with millions of revisits) make one
-partition large; AQE cannot split a window partition, so callers with
-pathological key skew should pre-bucket via
-``plans.featurize.salted_buckets`` for the embarrassingly-parallel stages
-and keep only the as-of stage key-partitioned (SURVEY.md §4).
+partition large; AQE cannot split a window partition, so for
+pathological key skew pass ``chunk=`` (range-partition-with-carry, the
+same treatment operators/skew.py applies to the window family): the
+merged stream partitions by (keys, time-chunk) and each chunk is seeded
+with a single carry row — the latest right row from all earlier chunks,
+computed from a per-chunk maximum (a tiny relation, one row per
+(keys, chunk)). Results are exactly equal to the unchunked plan
+(parity-tested), and a hot entity's sort parallelizes across its chunks.
 """
 
 from __future__ import annotations
@@ -61,6 +65,7 @@ def asof_join(
     suffix: str = "_right",
     how: str = "left",
     matched_ts_col: str | None = "matched_ts",
+    chunk: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.on <= left.on`` (or ``<`` when ``allow_exact_matches=False``)
@@ -69,6 +74,11 @@ def asof_join(
     Returns all left columns, plus each requested right column (renamed
     with ``suffix`` on name collision), plus ``matched_ts_col`` holding
     the timestamp of the matched right row (null when no match).
+
+    ``chunk``: optional expression over the ``on`` column (MUST be
+    monotone in it, e.g. ``F.to_date(F.col("ts"))``) enabling the
+    skew-robust chunked plan — see module docstring. Same results,
+    partitioned by (by, chunk) instead of (by).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -110,8 +120,46 @@ def asof_join(
     )
     merged = r.unionByName(l.select(*r.columns))
 
+    part_keys = list(by)
+    if chunk is not None:
+        merged = merged.withColumn("__chunk", chunk)
+        # latest right row per (by, chunk): struct max == latest (ts,
+        # payload) — one row per chunk, a tiny relation
+        # every chunk (left-only chunks included — they still need a
+        # carry); the max is conditional on right rows, null otherwise
+        per_chunk_last = merged.groupBy(*by, "__chunk").agg(
+            F.max(
+                F.when(
+                    F.col(_PAYLOAD).isNotNull(),
+                    F.struct(F.col(on).alias("__ts"), F.col(_PAYLOAD).alias("__p")),
+                )
+            ).alias("__last")
+        )
+        # carry for chunk k = latest right row over all chunks < k
+        # (chunk is monotone in ts, so this is the true predecessor)
+        w_prefix = (
+            Window.partitionBy(*by)
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            per_chunk_last.withColumn("__carry", F.max("__last").over(w_prefix))
+            .filter(F.col("__carry").isNotNull())
+            .select(
+                *[F.col(c) for c in by],
+                F.col("__carry")["__ts"].alias(on),
+                F.lit(right_side).alias(_SIDE),
+                F.col("__carry")["__p"].alias(_PAYLOAD),
+                *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                  for c in left.columns if c not in by and c != on],
+                F.col("__chunk"),
+            )
+        )
+        merged = merged.unionByName(carries.select(*merged.columns))
+        part_keys = [*by, "__chunk"]
+
     w = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*part_keys)
         .orderBy(F.col(on).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

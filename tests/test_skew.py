@@ -125,3 +125,41 @@ def test_chunked_windows_split_hot_entity(spark, skewed):
     last = hot.orderBy(F.col("warc_ts").desc()).limit(1).collect()[0]
     assert last["fast_avg"] == pytest.approx(sum(range(4991, 4999)) / 8)
     assert last["n_hist_rows"] == 4999
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_chunked_asof_equals_unchunked(spark, exact):
+    """asof_join(chunk=day) == asof_join, exactly, both tie semantics."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value_cents").alias("view_cents")
+    )
+
+    def rows(chunk):
+        out = asof_join(
+            clicks, views, on="ts", by=("user_id",),
+            right_cols=["view_cents"], allow_exact_matches=exact,
+            matched_ts_col="view_ts", chunk=chunk,
+        )
+        return sorted(
+            (r.user_id, str(r.ts), r.event_id, str(r.view_ts), r.view_cents)
+            for r in out.collect()
+        )
+
+    want = rows(None)
+    got = rows(F.to_date(F.col("ts")))
+    assert len(got) == len(want) > 0
+    assert got == want
+    # carries matter: some click must match a view from an earlier day
+    cross_day = [r for r in rows(F.to_date(F.col("ts")))
+                 if r[3] != "None" and r[3][:10] != r[1][:10]]
+    assert cross_day, "fixture has no cross-chunk matches; chunk test vacuous"
