@@ -228,16 +228,37 @@ def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
 SCALING_PAIRS = ((8, 32), (4, 16))  # (specified proxy, diagnostic pair)
 
 
-def run_scaling(sf_dir: str) -> None:
+def run_scaling(sf_dir: str, passes: int = 2) -> None:
     """Run the scaling suite at every parallelism level the configured
     pairs need; report BOTH the BASELINE.md-specified proxy pair
     (local[8] vs local[32]) and the 4-vs-16 diagnostic pair (the range
-    where this host's single memory bus is not yet saturated)."""
+    where this host's single memory bus is not yet saturated).
+
+    The whole level sweep runs ``passes`` times and per-(level, workload)
+    walls are min-merged: this host shows multi-minute noisy-neighbor
+    windows (identical runs measured 3-5x apart), and best-of-3 within
+    one session cannot defend against a window spanning the session —
+    two visits to each level ~15 minutes apart can."""
     levels = sorted({c for pair in SCALING_PAIRS for c in pair})
-    results = {}
-    for cpus in levels:
-        log(f"=== scaling run at local[{cpus}] ===")
-        results[cpus] = run_scaling_suite(sf_dir, cpus)
+    results: dict[int, dict] = {}
+    for p in range(passes):
+        for cpus in levels:
+            log(f"=== scaling run at local[{cpus}] (pass {p + 1}/{passes}) ===")
+            r = run_scaling_suite(sf_dir, cpus)
+            if cpus not in results:
+                results[cpus] = r
+            else:
+                prev = results[cpus]
+                merged = {
+                    q: min(prev["queries"][q], r["queries"][q])
+                    for q in prev["queries"]
+                }
+                results[cpus] = {
+                    "queries": merged,
+                    "value": round(sum(merged.values()), 3),
+                    "pages_per_sec": max(prev["pages_per_sec"], r["pages_per_sec"]),
+                    "n_pages": r["n_pages"],
+                }
 
     md = [
         "# BENCH/BASELINE — measured throughput & scaling",
@@ -248,9 +269,12 @@ def run_scaling(sf_dir: str) -> None:
         "corpus — generated in-Spark, materialized to parquet once,",
         "identical files read at every level; fully materialized via the",
         "noop sink; fresh SparkSession per level; JVM warmup excluded;",
-        "best of 3 repeats). Sandbox proxy for the north rule's N-vs-4N-",
-        "executor criterion: the identical job at two parallelism levels",
-        "on the same input.",
+        "best of 3 repeats per visit, and the whole level sweep visited",
+        "twice ~15 min apart with per-workload minima merged — this host",
+        "shows multi-minute noisy-neighbor windows with 3-5x swings on",
+        "identical runs, which a single visit cannot defend against).",
+        "Sandbox proxy for the north rule's N-vs-4N-executor criterion:",
+        "the identical job at two parallelism levels on the same input.",
         "",
         "| parallelism | suite wall (s) | pages featurized/s |",
         "|---|---|---|",
