@@ -67,12 +67,19 @@ PAGES_KNOBS = dict(n_hosts=120, paths_per_host=10, base_revisits=12, seed=42)
 # inputs (sources/synth.py), materialized to parquet once (untimed) so
 # both parallelism levels read identical files.
 SYNTH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "synth")
+# sized so every workload stays THROUGHPUT-bound at local[32] (a
+# sub-second wall is all scheduler latency and measures nothing)
 SYNTH_SPECS = {
     "pages": dict(n_urls=50_000, revisits=20),            # 1M rows, ~1GB html
-    "events": dict(n_users=40_000, events_per_user=200),  # 8M rows
-    "embeddings": dict(n=64_000, dim=64),                 # ~2G candidate pairs
+    "events": dict(n_users=60_000, events_per_user=400),  # 24M rows
+    "embeddings": dict(n=160_000, dim=64),                # ~3k block-pair GEMMs
     "docs": dict(n_urls=400_000, revisits=1),             # 400k documents
 }
+
+
+def _spec_path(name: str, kwargs: dict) -> str:
+    tag = "-".join(f"{k}{v}" for k, v in sorted(kwargs.items()))
+    return os.path.join(SYNTH_DIR, f"{name}-{tag}")
 
 
 def log(*a):
@@ -154,7 +161,7 @@ def _synth_inputs(spark) -> dict[str, str]:
     from pyspark.sql import functions as F
 
     for name, kwargs in SYNTH_SPECS.items():
-        path = os.path.join(SYNTH_DIR, name)
+        path = _spec_path(name, kwargs)
         if not os.path.isdir(path):
             log(f"materializing synth input {name} {kwargs} ...")
             if name == "docs":
@@ -188,13 +195,13 @@ def scaling_workloads(spark, paths: dict[str, str]) -> dict[str, object]:
     docs = spark.read.parquet(paths["docs"])
     return {
         "featurize_pages_1m": lambda: featurize_pages(pages),
-        "pit_dual_rate_8m": lambda: pit_dual_rate_from(events),
-        "sessionize_8m": lambda: session_features(
+        "pit_dual_rate_24m": lambda: pit_dual_rate_from(events),
+        "sessionize_24m": lambda: session_features(
             sessionize(events, entity="user_id", ts="ts", gap_seconds=4500.0),
             entity="user_id", ts="ts", measure="value_cents",
         ),
         "minhash_lsh_400k": lambda: minhash_lsh_dedup(docs, threshold=0.5),
-        "embedding_neardup_64k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
+        "embedding_neardup_160k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
     }
 
 
@@ -265,7 +272,7 @@ def run_scaling(sf_dir: str, passes: int = 2) -> None:
         "",
         "Scaling suite: throughput-bound workloads over large synthetic",
         f"inputs (a {results[levels[0]]['n_pages']}-row / ~1 GB-html pages table,",
-        "an 8M-row events table, a 64k×64 embedding corpus, a 400k-doc",
+        "a 24M-row events table, a 160k×64 embedding corpus, a 400k-doc",
         "corpus — generated in-Spark, materialized to parquet once,",
         "identical files read at every level; fully materialized via the",
         "noop sink; fresh SparkSession per level; JVM warmup excluded;",

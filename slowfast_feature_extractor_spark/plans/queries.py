@@ -464,6 +464,42 @@ GROUP BY r_name, n_name
 """
 
 
+def q_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 over the remaining dimension tables (part, supplier): fact
+    ⨝ three broadcast dims → grouped exact-cents revenue rollup
+    (TPC-H-Q9-shaped). Dims broadcast explicitly — the plan a 100-TB
+    lineitem needs (no shuffle of the fact side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("yr"), "p_brand")
+        .agg(
+            F.sum(rev_c).alias("rev_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_PART_SUPPLIER_REVENUE = """
+SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr, p_brand,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+       count(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, yr, p_brand
+"""
+
+
 def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P8: two-rater agreement predicate then label remap."""
     ev = _ev(spark, sf_dir)
@@ -1492,6 +1528,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
     "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
     "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
+    "part_supplier_revenue": (q_part_supplier_revenue, ORACLE_PART_SUPPLIER_REVENUE),
     "key_parse": (q_key_parse, ORACLE_KEY_PARSE),
     "group_weights": (q_group_weights, ORACLE_GROUP_WEIGHTS),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
