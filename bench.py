@@ -297,9 +297,18 @@ def run_scaling(sf_dir: str, passes: int = 2) -> None:
         t_low, t_high = results[low]["value"], results[high]["value"]
         eff = (t_low / t_high) / (high / low)
         effs[(low, high)] = eff
+        q_effs = [
+            (results[low]["queries"][q] / results[high]["queries"][q]) / (high / low)
+            for q in results[low]["queries"]
+            if results[high]["queries"][q] > 0
+        ]
+        import math as _m
+        geo = _m.exp(sum(_m.log(e) for e in q_effs) / len(q_effs))
         md.append(
             f"- **local[{low}] → local[{high}]** (4× cores): speedup "
-            f"{t_low / t_high:.2f}×, scaling efficiency **{eff:.2f}**"
+            f"{t_low / t_high:.2f}×, scaling efficiency **{eff:.2f}** "
+            f"(suite-wall ratio; per-workload geometric mean {geo:.2f} — "
+            "the wall ratio lets the slowest workload dominate)"
         )
     md += [
         "",

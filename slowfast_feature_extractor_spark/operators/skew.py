@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from slowfast_feature_extractor_spark.operators.windows import emit_rate_aggs
+
 
 def dual_rate_features_chunked(
     df: DataFrame,
@@ -119,20 +121,10 @@ def dual_rate_features_chunked(
     w = Window.partitionBy(entity, "__chunk").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
-    out = merged
-    m = F.col(measure)
-    for p, k in ((prefix_fast, fast_rows), (prefix_slow, slow_rows)):
-        frame = w.rowsBetween(end - (k - 1), end)
-        avg, s = F.avg(m).over(frame), F.sum(m).over(frame)
-        if round_to is not None:
-            avg, s = F.round(avg, round_to), F.round(s, round_to)
-        out = (
-            out.withColumn(f"{p}_avg", avg)
-            .withColumn(f"{p}_sum", s)
-            .withColumn(f"{p}_min", F.min(m).over(frame))
-            .withColumn(f"{p}_max", F.max(m).over(frame))
-            .withColumn(f"{p}_cnt", F.count(m).over(frame))
-        )
+    out = emit_rate_aggs(
+        merged, w, measure, end,
+        ((prefix_fast, fast_rows), (prefix_slow, slow_rows)), round_to,
+    )
     hist = w.rowsBetween(Window.unboundedPreceding, end)
     out = (
         out.withColumn(

@@ -43,6 +43,34 @@ def _entity_window(
     return Window.partitionBy(*keys).orderBy(*order)
 
 
+def emit_rate_aggs(
+    out: DataFrame,
+    w,
+    measure: str,
+    end: int,
+    rates: Sequence[tuple[str, int]],
+    round_to: int | None = None,
+) -> DataFrame:
+    """Attach the {prefix}_{avg,sum,min,max,cnt} aggregate family for
+    each (prefix, frame_rows) over the given window spec — the single
+    source of truth shared by the plain and the chunked (skew-robust)
+    operators, whose exact column/value parity is contract-tested."""
+    m = F.col(measure)
+    for p, k in rates:
+        frame = w.rowsBetween(end - (k - 1), end)
+        avg, s = F.avg(m).over(frame), F.sum(m).over(frame)
+        if round_to is not None:
+            avg, s = F.round(avg, round_to), F.round(s, round_to)
+        out = (
+            out.withColumn(f"{p}_avg", avg)
+            .withColumn(f"{p}_sum", s)
+            .withColumn(f"{p}_min", F.min(m).over(frame))
+            .withColumn(f"{p}_max", F.max(m).over(frame))
+            .withColumn(f"{p}_cnt", F.count(m).over(frame))
+        )
+    return out
+
+
 def dual_rate_features(
     df: DataFrame,
     entity: str = "url",
@@ -70,20 +98,10 @@ def dual_rate_features(
     """
     end = -1 if strict else 0
     w = _entity_window(entity, ts, tiebreak)
-    out = df
-    for p, k in ((prefix_fast, fast_rows), (prefix_slow, slow_rows)):
-        frame = w.rowsBetween(end - (k - 1), end)
-        m = F.col(measure)
-        avg, s = F.avg(m).over(frame), F.sum(m).over(frame)
-        if round_to is not None:
-            avg, s = F.round(avg, round_to), F.round(s, round_to)
-        out = (
-            out.withColumn(f"{p}_avg", avg)
-            .withColumn(f"{p}_sum", s)
-            .withColumn(f"{p}_min", F.min(m).over(frame))
-            .withColumn(f"{p}_max", F.max(m).over(frame))
-            .withColumn(f"{p}_cnt", F.count(m).over(frame))
-        )
+    out = emit_rate_aggs(
+        df, w, measure, end,
+        ((prefix_fast, fast_rows), (prefix_slow, slow_rows)), round_to,
+    )
     hist = w.rowsBetween(Window.unboundedPreceding, end)
     out = out.withColumn("n_hist_rows", F.count(F.lit(1)).over(hist)).withColumn(
         "max_input_ts", F.max(F.col(ts)).over(hist)

@@ -50,6 +50,7 @@ def featurize_pages(
     slow_rows: int = 64,
     fast_len: int = 32,
     slow_len: int = 8,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → features(url, warc_ts,
     slow_vec, fast_vec, fused_vec, n_hist_rows, max_input_ts).
@@ -70,16 +71,21 @@ def featurize_pages(
       (reference/datasets/videoset.py:194-196);
     - zero leakage: both windows end at 1 PRECEDING and anchors satisfy
       anchor_ts <= warc_ts, so every contributing row is strictly
-      earlier; ``max_input_ts`` carries the audit bound.
+      earlier; ``max_input_ts`` carries the audit bound;
+    - determinism: (url, warc_ts) is the natural key of a crawl-snapshot
+      table; when the input cannot guarantee uniqueness, pass
+      ``tiebreak`` (a column name) to make every window frame
+      well-defined under duplicate timestamps.
     """
     # Stage 1 (embarrassingly parallel): extraction UDF evaluated EXACTLY
     # once per row — the plan below never branches before this point, so
     # Catalyst cannot duplicate the expensive Python stage.
+    keep = ["url", "warc_ts"] + ([tiebreak] if tiebreak else [])
     df = (
         pages.withColumn(
             "text", F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
         )
-        .select("url", "warc_ts", F.length("text").cast("double").alias("measure"))
+        .select(*keep, F.length("text").cast("double").alias("measure"))
     )
 
     # Stage 2: ONE hash partition on url + ONE in-partition sort serves
@@ -87,7 +93,8 @@ def featurize_pages(
     # anchor detection, and the inlined as-of carry-forward) — the analog
     # of the reference extracting all feature depths from a single
     # forward pass (reference/just_test_v1.py:544-583).
-    w = Window.partitionBy("url").orderBy("warc_ts")
+    order = ["warc_ts"] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy("url").orderBy(*order)
     fast_frame = w.rowsBetween(-fast_rows, -1)
     slow_frame = w.rowsBetween(-slow_rows, -1)
     hist_frame = w.rowsBetween(Window.unboundedPreceding, -1)

@@ -123,13 +123,15 @@ def q_featurize_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
         F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("snapshot_id"),
         F.lit(None).cast("binary").alias("html"),
         F.concat(
             F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit(""))
         ).alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = featurize_pages(pages, fast_rows=8, slow_rows=16, fast_len=8, slow_len=4)
+    out = featurize_pages(pages, fast_rows=8, slow_rows=16, fast_len=8, slow_len=4,
+                          tiebreak="snapshot_id")
     return out.select(
         "url", "warc_ts", F.posexplode("fused_vec").alias("idx", "value")
     ).withColumn("value", F.round("value", 6))
@@ -170,24 +172,25 @@ def _resample_sql(ys: str, k: int) -> str:
 ORACLE_FEATURIZE_PAGES = f"""
 WITH pages AS (
   SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, ts AS warc_ts,
+         event_id AS snapshot_id,
          CAST(length(concat(event_type, ':', COALESCE(props, ''))) AS DOUBLE) AS measure
   FROM events
 ),
 w AS (
-  SELECT url, warc_ts,
+  SELECT url, warc_ts, snapshot_id,
          COALESCE(list(measure) OVER fast, CAST([] AS DOUBLE[])) AS fast_raw,
          CASE WHEN lag(CAST(warc_ts AS DATE)) OVER o IS NULL
                 OR lag(CAST(warc_ts AS DATE)) OVER o <> CAST(warc_ts AS DATE)
               THEN COALESCE(list(measure) OVER slow, CAST([] AS DOUBLE[])) END AS slow_at_anchor
   FROM pages
-  WINDOW o AS (PARTITION BY url ORDER BY warc_ts),
-         fast AS (PARTITION BY url ORDER BY warc_ts ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
-         slow AS (PARTITION BY url ORDER BY warc_ts ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+  WINDOW o AS (PARTITION BY url ORDER BY warc_ts, snapshot_id),
+         fast AS (PARTITION BY url ORDER BY warc_ts, snapshot_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+         slow AS (PARTITION BY url ORDER BY warc_ts, snapshot_id ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
 ),
 c AS (
   SELECT url, warc_ts, fast_raw,
          last_value(slow_at_anchor IGNORE NULLS)
-           OVER (PARTITION BY url ORDER BY warc_ts
+           OVER (PARTITION BY url ORDER BY warc_ts, snapshot_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slow_raw
   FROM w
 ),

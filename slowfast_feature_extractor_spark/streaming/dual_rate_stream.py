@@ -9,12 +9,12 @@ inputs only — the zero-leakage rule holds in flight), and the watermark
 bounds state for entities that go quiet.
 
 Ordering: within a micro-batch rows are sorted by ts; across batches
-beyond-watermark rows are dropped INSIDE the operator with an observable
-counter (applyInPandasWithState does not pre-filter late input — the
-watermark only drives timeouts), and anything late-but-within-watermark
-is featurized against state as-of arrival — the same policy the
-reference's streaming buffer applies (reference/just_test_v1.py:858-872
-processes in arrival order).
+beyond-watermark rows are dropped with observable counts in two layers
+(see streaming/metrics.py: engine pre-filter vs the one-batch-lagged
+watermark + in-operator drop for the lag window), and anything
+late-but-within-watermark is featurized against state as-of arrival —
+the same policy the reference's streaming buffer applies
+(reference/just_test_v1.py:858-872 processes in arrival order).
 """
 
 from __future__ import annotations
@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from slowfast_feature_extractor_spark.streaming.metrics import drop_late
 
 
 def streaming_dual_rate(
@@ -59,16 +61,7 @@ def streaming_dual_rate(
         else:
             hist_ts, hist_v, total_hist = [], [], 0
         rows = pd.concat(list(pdfs))
-        wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0 and len(rows):
-            late = rows[ts].map(
-                lambda t: int(pd.Timestamp(t).value // 1_000_000) < wm_ms
-            )
-            n_late = int(late.sum())
-            if n_late:
-                if late_counter is not None:
-                    late_counter.add(n_late)
-                rows = rows[~late]
+        rows = drop_late(rows, ts, state, late_counter)
         if not len(rows):
             return
         rows = rows.sort_values(ts)

@@ -13,12 +13,13 @@ This is the same semantics expressed on Spark's engine-managed state:
 - the watermark plays the staleness counter's role: when event time
   passes ``session_end + gap``, the state times out and the open session
   is flushed (the reference's force-flush);
-- late events beyond the watermark are dropped INSIDE the operator
-  (applyInPandasWithState does not pre-filter late rows — the watermark
-  only drives timeouts — so without this check a late event would merge
-  into a NEWER session) and counted in ``late_counter``: the reference
-  silently loses post-flush segments; here the drop is explicit,
-  bounded, and observable (streaming/metrics.py).
+- late events are dropped with an observable count in two layers
+  (streaming/metrics.py): the engine pre-filters rows behind its
+  one-batch-lagged watermark (progress counter), and rows inside that
+  lag window are dropped INSIDE the operator (accumulator) — without
+  the in-operator layer a lag-window event would merge into a NEWER
+  session. The reference silently loses post-flush segments; here the
+  loss is explicit, bounded, and counted.
 
 Batch parity: emitted sessions equal ``operators.sessionize`` output for
 all sessions that are *closed* by data or timeout (tested in
@@ -34,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from slowfast_feature_extractor_spark.streaming.metrics import drop_late
 
 
 def streaming_sessionize(
@@ -80,17 +83,10 @@ def streaming_sessionize(
             return
 
         rows = pd.concat(list(pdfs))
-        # drop-with-metric: rows behind the watermark never touch state
-        wm_ms = state.getCurrentWatermarkMs()
-        if wm_ms > 0 and len(rows):
-            late = rows[ts].map(
-                lambda t: int(pd.Timestamp(t).value // 1_000_000) < wm_ms
-            )
-            n_late = int(late.sum())
-            if n_late:
-                if late_counter is not None:
-                    late_counter.add(n_late)
-                rows = rows[~late]
+        # drop-with-metric: lag-window late rows never touch state
+        # (layer 2 of streaming/metrics.py; the engine pre-filters the
+        # rest and counts them in numRowsDroppedByWatermark)
+        rows = drop_late(rows, ts, state, late_counter)
         if not len(rows):
             return
         rows = rows.sort_values(ts)

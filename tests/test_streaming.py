@@ -115,7 +115,13 @@ def test_late_drop_metric_counts_beyond_watermark_event(spark, tmp_path):
     t0 = time.time()
     put("1.parquet", ["2024-01-01 00:00:00", "2024-01-01 00:10:00"], t0)
     put("2.parquet", ["2024-01-02 12:00:00"], t0 + 10)  # advances watermark by >1 day
-    put("3.parquet", ["2024-01-01 00:20:00"], t0 + 20)  # far beyond watermark -> drop
+    # batch 3: late vs the CURRENT watermark but the engine filters with
+    # its one-batch-LAGGED watermark -> reaches the operator -> layer-2
+    # (in-operator) drop, counted in the accumulator
+    put("3.parquet", ["2024-01-01 00:20:00"], t0 + 20)
+    # batch 4: by now the engine's lagged watermark has caught up ->
+    # layer-1 (engine pre-filter) drop, counted in progress
+    put("4.parquet", ["2024-01-01 00:30:00"], t0 + 30)
 
     stream = (
         spark.readStream.schema("user_id string, ts timestamp, value double")
@@ -136,8 +142,11 @@ def test_late_drop_metric_counts_beyond_watermark_event(spark, tmp_path):
         .start()
     )
     q.awaitTermination(300)
-    assert counter.value == 1
-    # the dropped event contaminated nothing: the first session closed
+    from slowfast_feature_extractor_spark.streaming.metrics import late_drop_count
+
+    assert counter.value == 1  # layer 2: lag-window row dropped in-operator
+    assert late_drop_count(q) >= 1  # layer 1: engine pre-filter counted
+    # the dropped events contaminated nothing: the first session closed
     # with exactly its two on-time rows
     sessions = {
         (str(r.session_start), str(r.session_end)): r.n_revisits
