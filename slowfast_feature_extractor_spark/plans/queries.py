@@ -303,6 +303,40 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 tolerance knob (pandas.merge_asof parity): matches older than
+    1 hour are nulled — the reference's stale-buffer eviction expressed
+    as a join semantic."""
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value_cents").alias("view_cents")
+    )
+    return asof_join(
+        clicks, views, on="ts", by=("user_id",), right_cols=["view_cents"],
+        allow_exact_matches=True, tolerance_seconds=3600.0,
+        matched_ts_col="view_ts",
+    ).select("user_id", "ts", "event_id", "view_ts", "view_cents")
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+views  AS (SELECT user_id, ts, value_cents AS view_cents FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT c.user_id, c.ts, c.event_id, v.ts AS view_ts, v.view_cents
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT user_id, ts, event_id,
+       CASE WHEN epoch(ts) - epoch(view_ts) <= 3600.0 THEN view_ts END AS view_ts,
+       CASE WHEN epoch(ts) - epoch(view_ts) <= 3600.0 THEN view_cents END AS view_cents
+FROM m
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: gap-based sessionization (30-min revisit gap)."""
     out = sessionize(_ev(spark, sf_dir), entity="user_id", ts="ts",
@@ -1524,6 +1558,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
     "asof_join": (q_asof_join, _oracle_asof(">=")),
     "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
+    "asof_join_tolerance": (q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "session_stats": (q_session_stats, ORACLE_SESSION_STATS),
     "backfill": (q_backfill, ORACLE_BACKFILL),
