@@ -537,6 +537,42 @@ GROUP BY n_name, yr, p_brand
 """
 
 
+def q_host_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+P4+P6/J1: parse the host out of a url (regex key-parse),
+    broadcast-join the small host dimension, keep one crawl tier — the
+    camera_assignments.csv lookup + ipsilateral-camera predicate
+    (reference/just_test_v1.py:1514-1517,1543-1549)."""
+    from slowfast_feature_extractor_spark.operators.regions import join_host_meta
+
+    ev = _ev(spark, sf_dir)
+    pages = ev.select(
+        "event_id",
+        F.format_string(
+            "https://h%d.example.com/p/%d", F.col("user_id") % 7, F.col("event_id")
+        ).alias("url"),
+    )
+    host_meta = spark.range(7).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("crawl_tier"),
+    )
+    out = join_host_meta(pages, host_meta, keep_tier=1)
+    return out.select("event_id", "host", "crawl_tier")
+
+
+ORACLE_HOST_META_FILTER = """
+WITH p AS (
+  SELECT event_id,
+         concat('h', CAST(user_id % 7 AS VARCHAR), '.example.com') AS host
+  FROM events
+),
+d AS (SELECT concat('h', CAST(r.i AS VARCHAR), '.example.com') AS host,
+             CAST(r.i % 3 AS INT) AS crawl_tier
+      FROM range(0, 7) AS r(i))
+SELECT p.event_id, p.host, d.crawl_tier
+FROM p JOIN d USING (host) WHERE d.crawl_tier = 1
+"""
+
+
 def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P8: two-rater agreement predicate then label remap."""
     ev = _ev(spark, sf_dir)
@@ -1567,6 +1603,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
     "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
     "part_supplier_revenue": (q_part_supplier_revenue, ORACLE_PART_SUPPLIER_REVENUE),
+    "host_meta_filter": (q_host_meta_filter, ORACLE_HOST_META_FILTER),
     "key_parse": (q_key_parse, ORACLE_KEY_PARSE),
     "group_weights": (q_group_weights, ORACLE_GROUP_WEIGHTS),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),

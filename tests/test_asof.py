@@ -105,3 +105,48 @@ def test_column_collision_suffix(spark):
     assert "v_right" in out.columns
     row = out.collect()[0]
     assert row["v"] == 1.0 and row["v_right"] == 2.0
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Property parity vs pandas.merge_asof (the semantic the operator
+    documents): randomized key/ts layouts incl. duplicate timestamps,
+    empty right sides, and exact-tie boundaries, both tie modes."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        n_l, n_r = rng.randint(1, 40), rng.randint(0, 40)
+        keys = ["a", "b", "c"]
+        left = pd.DataFrame({
+            "k": rng.choice(keys, n_l),
+            "ts": pd.to_datetime(rng.randint(0, 50, n_l), unit="s"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }).sort_values("ts", kind="mergesort").reset_index(drop=True)
+        right = pd.DataFrame({
+            "k": rng.choice(keys, n_r),
+            "ts": pd.to_datetime(rng.randint(0, 50, n_r), unit="s"),
+            "rv": rng.randint(0, 1000, n_r).astype("int64"),
+        })
+        # merge_asof picks the LAST right row among equal (k, ts); make
+        # that winner deterministic so both engines agree on ties
+        right = (right.sort_values(["k", "ts", "rv"], kind="mergesort")
+                 .drop_duplicates(["k", "ts"], keep="last")
+                 .sort_values("ts", kind="mergesort").reset_index(drop=True))
+        for exact in (True, False):
+            want = pd.merge_asof(
+                left, right, on="ts", by="k",
+                allow_exact_matches=exact, direction="backward",
+            )
+            got = asof_join(
+                spark.createDataFrame(left), spark.createDataFrame(right),
+                on="ts", by=("k",), right_cols=["rv"],
+                allow_exact_matches=exact, matched_ts_col=None,
+            ).toPandas()
+            wd = {t.lid: t.rv for t in want.itertuples()}
+            gd = {t.lid: t.rv for t in got.itertuples()}
+            assert set(wd) == set(gd)
+            for lid in wd:
+                w, g = wd[lid], gd[lid]
+                assert (pd.isna(w) and pd.isna(g)) or w == g, (
+                    f"trial={trial} exact={exact} lid={lid}: {w} vs {g}")
