@@ -216,6 +216,61 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id) with
+    cluster_id = the component's minimum id (the canonical survivor —
+    the same keep-min rule :func:`exact_dedup` applies to exact copies).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; convergence in
+    O(component diameter) rounds — near-dup components are shallow
+    (stars around a few hub documents), so a handful of rounds at any
+    corpus size. Each round is one equi-join + one partial-aggregatable
+    groupBy; lineage is cut with localCheckpoint so plans stay flat.
+    The driver loop coordinates ITERATIONS (a scalar count per round),
+    never data — this is how iterative graph algorithms are expressed on
+    Spark (Pregel-style).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def _hex_digit_val(c: Column) -> Column:
     """hex char → 0..15 via strpos arithmetic (portable to any engine)."""
     return F.instr(F.lit(HEX), c) - 1

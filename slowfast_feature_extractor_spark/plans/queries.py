@@ -922,6 +922,73 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {thr}
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composition (the training-data
+    pipeline in one plan): language gate → quality gate → exact-dedup
+    keep-min — survivors with their quality and copy count. All pure
+    Column expressions over ONE scan; the dedup window is the only
+    shuffle."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "text",
+        TS.langid(t).alias("lang_pred"),
+        TS.quality_score(t).alias("quality"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
+    w = Window.partitionBy(F.md5("text"))
+    out = (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+    )
+    return out.filter(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", "quality", "n_copies"
+    )
+
+
+def _corpus_clean_oracle() -> str:
+    score_exprs = []
+    for lang in sorted(TS.LANG_MARKERS):
+        marks = "['" + "','".join(TS.LANG_MARKERS[lang]) + "']"
+        score_exprs.append(
+            f"len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), "
+            f"x -> list_contains({marks}, x))) AS s_{lang}"
+        )
+    langs = sorted(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok_cnt,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains({_STOPS_SQL}, x))) AS stop_cnt,
+    length(replace(text, ' ', '')) AS chars,
+    {", ".join(score_exprs)}
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, {case} AS lang_pred,
+    round(least(tok_cnt / 200.0, 1.0) * 0.4
+          + (CASE WHEN tok_cnt > 0 THEN CAST(stop_cnt AS DOUBLE) / tok_cnt ELSE 0.0 END) * 0.3
+          + least((CASE WHEN tok_cnt > 0 THEN CAST(chars AS DOUBLE) / tok_cnt ELSE 0.0 END) / 8.0, 1.0) * 0.3,
+          6) AS quality
+  FROM b
+),
+kept AS (SELECT doc_id, text, quality FROM m WHERE lang_pred = 'en' AND quality >= 0.3),
+g AS (
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM kept
+)
+SELECT doc_id, quality, n_copies FROM g WHERE doc_id = keep_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keep min doc_id."""
     return DD.exact_dedup(_docs(spark, sf_dir))
@@ -1047,6 +1114,27 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS sim
 FROM e a, e b
 WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the embedding
+    near-dup pairs (iterative min-label propagation, Pregel-style);
+    cluster_id = component-minimum id, the canonical survivor. Oracle =
+    recursive-CTE reachability over the same pairs."""
+    pairs = SIM.embedding_neardup_blocked(_emb(spark, sf_dir), threshold=0.4)
+    return DD.dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE p AS ({ORACLE_DEDUP_EMBEDDING}),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.node
+)
+SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
@@ -1616,11 +1704,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "langid": (q_langid, _langid_oracle()),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "corpus_clean": (q_corpus_clean, _corpus_clean_oracle()),
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
     "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
     "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check

@@ -59,3 +59,16 @@ def test_simhash(docs):
     pairs = {(r.id_a, r.id_b): r.hamming for r in
              DD.simhash_pairs(DD.simhash16(docs), max_hamming=0).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_dedup_clusters_components(spark):
+    """Connected components: a 4-node chain collapses to its minimum id
+    even though no pair links the endpoints directly (propagation depth
+    > 1); disjoint pairs stay separate clusters."""
+    from slowfast_feature_extractor_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 5), (5, 7), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {3: 3, 9: 3, 5: 3, 7: 3, 20: 20, 21: 20}
