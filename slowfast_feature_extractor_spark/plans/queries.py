@@ -935,8 +935,13 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.langid(t).alias("lang_pred"),
         TS.quality_score(t).alias("quality"),
     )
-    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
-    w = Window.partitionBy(F.md5("text"))
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.3)
+    ).withColumn("__h", F.md5("text"))
+    # partition by the materialized hash COLUMN: partitioning by the
+    # md5 expression directly makes Spark project a fresh _w0 per
+    # window column and plan two Exchanges instead of one
+    w = Window.partitionBy("__h")
     out = (
         kept.withColumn("keep_id", F.min("doc_id").over(w))
         .withColumn("n_copies", F.count(F.lit(1)).over(w))

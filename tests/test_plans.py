@@ -67,3 +67,18 @@ def test_simhash_pairs_no_cross_join(spark):
     plan = _plan(REGISTRY["dedup_simhash_pairs"][0](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_part_supplier_revenue_broadcasts_all_dims(spark):
+    """The 3-way dim join must never shuffle the fact side."""
+    plan = _plan(REGISTRY["part_supplier_revenue"][0](spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_clean_single_scan_single_exchange(spark):
+    """Lang gate + quality gate + dedup-keep compose over ONE documents
+    scan with the dedup window's hash partition as the only Exchange."""
+    plan = _plan(REGISTRY["corpus_clean"][0](spark, SF_TINY))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2  # md5 window hash (+scan-guard round robin)
