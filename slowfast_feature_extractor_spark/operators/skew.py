@@ -93,7 +93,9 @@ def dual_rate_features_chunked(
                 tgt = carry.copy()
                 tgt["__chunk"] = c
                 out.append(tgt)
-            carry = pd.concat([carry, rows]).iloc[-slow_rows:]
+                carry = pd.concat([carry, rows]).iloc[-slow_rows:]
+            else:  # avoid concat-with-empty (pandas deprecation)
+                carry = rows.iloc[-slow_rows:]
         if not out:
             return pdf.iloc[0:0]
         return pd.concat(out)
