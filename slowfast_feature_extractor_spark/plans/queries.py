@@ -773,6 +773,53 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
 """
 
 
+def q_except_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set-subtract: purchasing users never seen erroring — EXCEPT
+    (the complement of the overlap sanity check)."""
+    # day as an ISO string: a DATE output column reaches pandas as
+    # datetime.date objects from Spark but datetime64 from DuckDB,
+    # which breaks the dtype-sensitive value hash
+    ev = _ev(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "day")
+    return purchases.distinct().exceptAll(errors.distinct())
+
+
+ORACLE_EXCEPT_OPS = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (linear interpolation between
+    closest ranks — Spark `percentile` == SQL quantile_cont), the
+    distributional summary every corpus-quality report needs."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value_cents, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value_cents, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value_cents, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value_cents, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = f"""
+WITH ev AS ({_EV_CENTS_SQL})
+SELECT event_type,
+       round(quantile_cont(value_cents, 0.25), 6) AS p25,
+       round(quantile_cont(value_cents, 0.5), 6) AS p50,
+       round(quantile_cont(value_cents, 0.75), 6) AS p75,
+       round(quantile_cont(value_cents, 0.99), 6) AS p99
+FROM ev GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------- documents / text
 
 _HTML_PREFIX = (
@@ -1704,6 +1751,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
+    "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
+    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
     "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "langid": (q_langid, _langid_oracle()),
