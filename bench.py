@@ -56,7 +56,12 @@ BENCH_QUERIES = [
     "knn_ivf",
     "multimodal_meta",
     "multimodal_frames",
+    "corpus_clean",
+    "window_dual_rate_chunked",
 ]
+# dedup_clusters is registry-checked but not timed here: at fixture
+# scale (59 pairs) the convergence loop measures scheduler overhead,
+# not throughput
 
 PAGES_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "pages")
 PAGES_KNOBS = dict(n_hosts=120, paths_per_host=10, base_revisits=12, seed=42)

@@ -256,9 +256,13 @@ def q_window_dual_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         dual_rate_features_chunked,
     )
 
+    # month chunks: the fixture is SPARSE (~2 rows/user/day), so day
+    # chunks would emit a 64-row carry per ~2-row chunk (the operator
+    # targets dense hot entities where rows-per-chunk >> slow_rows)
     out = dual_rate_features_chunked(
         _ev(spark, sf_dir), entity="user_id", ts="ts", measure="value_cents",
         fast_rows=8, slow_rows=64, strict=True, round_to=6, tiebreak="event_id",
+        chunk=F.to_date(F.date_trunc("month", F.col("ts"))),
     )
     return out.select(
         "user_id", "ts", "event_id",
