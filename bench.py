@@ -7,10 +7,12 @@ line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
 "sf", "pages_per_sec", ...}. All informational output goes to stderr;
 stdout carries exactly the JSON line.
 
---scaling: run the identical suite at local[8] and local[32] and write
-BENCH/BASELINE.md with throughput at both plus scaling efficiency
-(= speedup / core-ratio) — the sandbox proxy for the north rule's
-N-vs-4N-executor criterion.
+--scaling: run throughput-bound workloads at local[4/8/16/32] (two
+min-merged passes, defending against this host's noisy-neighbor
+windows) and write BENCH/BASELINE.md with throughput at every level
+plus scaling efficiency (= speedup / core-ratio) for BOTH the
+specified 8->32 proxy pair and the 4->16 diagnostic pair — the sandbox
+proxy for the north rule's N-vs-4N-executor criterion.
 
 Every query is fully materialized through Spark's `noop` sink (no
 driver collect, no disk write skew).
