@@ -272,6 +272,16 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: a component whose
+        # diameter exceeds max_iter (a long near-dup chain) would get
+        # silently-wrong cluster ids — refuse instead (ADVICE r2).
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed = component diameter, so 25 covers any star-shaped "
+            "near-dup corpus but not adversarial chains"
+        )
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 

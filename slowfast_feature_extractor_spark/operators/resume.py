@@ -94,7 +94,7 @@ def run_with_checkpoint(
         return {"processed": [], "skipped": skipped, "rows": 0}
 
     t0 = time.monotonic()
-    part = df.filter(F.col(bucket_col).isin([int(b) for b in pending]))
+    part = df.filter(F.col(bucket_col).isin(list(pending)))
     if compute_fn is not None:
         part = compute_fn(part)
     # ONE distributed write; dynamic overwrite replaces only the pending

@@ -9,6 +9,7 @@ beyond the schema.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,20 +41,55 @@ def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
     exchange already redistributes.
 
     The partition probe via ``df.rdd`` forces an eager plan→RDD
-    conversion, so it is gated behind a cheap file-count check: a scan
-    with enough input files splits natively and returns untouched —
-    production multi-file tables never pay the RDD conversion."""
+    conversion, so it is gated behind a cheap estimate: FileSourceScan
+    bin-packs small files (maxPartitionBytes / openCostInBytes), so raw
+    file count over-estimates split count — a thousand tiny files can
+    still scan as one or two partitions (ADVICE r2). When the files are
+    stat-able, estimate packed splits the way Spark does
+    (ceil(Σ(size + openCost) / maxSplitBytes)) and skip the probe only
+    when THAT clears the threshold; when they are not stat-able (object
+    store), fall back to the file-count gate so production scans never
+    pay the RDD conversion."""
     sc = df.sparkSession.sparkContext
+    conf = df.sparkSession.conf
     target = sc.defaultParallelism * factor
     threshold = max(2, target // 2)
     try:
-        if len(df.inputFiles()) >= threshold:
-            return df
+        files = df.inputFiles()
+        if len(files) >= threshold:
+            est = _estimated_splits(files, conf)
+            if est is None or est >= threshold:
+                return df
     except Exception:
         pass  # non-file source: fall through to the partition probe
     if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
+
+
+def _estimated_splits(files: list[str], conf) -> int | None:
+    """Spark's file bin-packing estimate; None when files can't be statted
+    (non-local URIs) — caller then trusts the raw file count."""
+    max_split = _bytes_conf(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    open_cost = _bytes_conf(conf, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f if f.startswith("/") else None
+        if path is None:
+            return None
+        try:
+            total += os.path.getsize(path) + open_cost
+        except OSError:
+            return None
+    return max(1, math.ceil(total / max_split))
+
+
+def _bytes_conf(conf, key: str, default: int) -> int:
+    raw = str(conf.get(key, str(default))).strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    return int(raw)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -29,23 +29,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from slowfast_feature_extractor_spark.streaming.metrics import drop_late
 
 
-def streaming_dual_rate(
-    events: DataFrame,
-    entity: str = "url",
-    ts: str = "warc_ts",
-    measure: str = "value",
-    fast_rows: int = 8,
-    slow_rows: int = 64,
-    watermark: str = "10 seconds",
+def make_dual_rate_fn(
+    entity: str,
+    ts: str,
+    measure: str,
+    fast_rows: int,
+    slow_rows: int,
     late_counter=None,
-) -> DataFrame:
-    """event stream → feature stream
-    (entity, ts, fast_avg, fast_cnt, slow_avg, slow_cnt, n_hist_rows)."""
-    out_schema = (
-        f"{entity} string, {ts} timestamp, fast_avg double, fast_cnt long, "
-        "slow_avg double, slow_cnt long, n_hist_rows long"
-    )
-    state_schema = "ts_us array<long>, vals array<double>, n_total long"
+):
+    """Build the applyInPandasWithState function (module-level so the
+    timeout/late-batch state machine is unit-testable with a fake
+    GroupState)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -63,6 +57,11 @@ def streaming_dual_rate(
         rows = pd.concat(list(pdfs))
         rows = drop_late(rows, ts, state, late_counter)
         if not len(rows):
+            # re-arm the eviction timeout (Spark clears it per invocation);
+            # without this an entity fed only lag-window late rows keeps
+            # its state forever (ADVICE r2).
+            if state.exists:
+                state.setTimeoutTimestamp(max(hist_ts) // 1000 + 3_600_000)
             return
         rows = rows.sort_values(ts)
         out = {c: [] for c in (ts, "fast_avg", "fast_cnt", "slow_avg", "slow_cnt", "n_hist_rows")}
@@ -85,6 +84,28 @@ def streaming_dual_rate(
         res = pd.DataFrame(out)
         res.insert(0, entity, k)
         yield res
+
+    return fn
+
+
+def streaming_dual_rate(
+    events: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    watermark: str = "10 seconds",
+    late_counter=None,
+) -> DataFrame:
+    """event stream → feature stream
+    (entity, ts, fast_avg, fast_cnt, slow_avg, slow_cnt, n_hist_rows)."""
+    out_schema = (
+        f"{entity} string, {ts} timestamp, fast_avg double, fast_cnt long, "
+        "slow_avg double, slow_cnt long, n_hist_rows long"
+    )
+    state_schema = "ts_us array<long>, vals array<double>, n_total long"
+    fn = make_dual_rate_fn(entity, ts, measure, fast_rows, slow_rows, late_counter)
 
     stream = events.withColumn(ts, F.col(ts).cast("timestamp")).withWatermark(
         ts, watermark

@@ -39,27 +39,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from slowfast_feature_extractor_spark.streaming.metrics import drop_late
 
 
-def streaming_sessionize(
-    events: DataFrame,
-    entity: str = "url",
-    ts: str = "warc_ts",
-    measure: str = "value",
-    gap_seconds: float = 1800.0,
-    watermark: str = "10 seconds",
-    late_counter=None,
-) -> DataFrame:
-    """events stream → closed-session stream
-    (entity, session_start, session_end, n_revisits, measure_sum).
-
-    ``late_counter``: optional Spark accumulator
-    (streaming/metrics.make_late_counter) incremented per dropped
-    beyond-watermark row."""
-    gap_us = int(gap_seconds * 1_000_000)
-    out_schema = (
-        f"{entity} string, session_start timestamp, session_end timestamp, "
-        "n_revisits long, measure_sum double"
-    )
-    state_schema = "start_us long, end_us long, n long, s double"
+def make_sessionize_fn(entity: str, ts: str, measure: str, gap_us: int, late_counter=None):
+    """Build the applyInPandasWithState function (module-level so the
+    timeout/late-batch state machine is unit-testable with a fake
+    GroupState — see tests/test_streaming.py)."""
 
     def _emit(key: Any, start_us: int, end_us: int, n: int, s: float) -> pd.DataFrame:
         return pd.DataFrame(
@@ -88,6 +71,13 @@ def streaming_sessionize(
         # rest and counts them in numRowsDroppedByWatermark)
         rows = drop_late(rows, ts, state, late_counter)
         if not len(rows):
+            # Spark clears the pending timeout on every invocation of the
+            # state function; an all-late batch must RE-ARM it from stored
+            # state or the open session would never staleness-flush
+            # (ADVICE r2: bounded-state guarantee broke on this path).
+            if state.exists:
+                _, end_us, _, _ = state.get
+                state.setTimeoutTimestamp((end_us + gap_us) // 1000)
             return
         rows = rows.sort_values(ts)
         cur = list(state.get) if state.exists else None
@@ -109,6 +99,32 @@ def streaming_sessionize(
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         for start_us, end_us, n, s in out:
             yield _emit(k, start_us, end_us, n, s)
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    gap_seconds: float = 1800.0,
+    watermark: str = "10 seconds",
+    late_counter=None,
+) -> DataFrame:
+    """events stream → closed-session stream
+    (entity, session_start, session_end, n_revisits, measure_sum).
+
+    ``late_counter``: optional Spark accumulator
+    (streaming/metrics.make_late_counter) incremented per dropped
+    beyond-watermark row."""
+    gap_us = int(gap_seconds * 1_000_000)
+    out_schema = (
+        f"{entity} string, session_start timestamp, session_end timestamp, "
+        "n_revisits long, measure_sum double"
+    )
+    state_schema = "start_us long, end_us long, n long, s double"
+    fn = make_sessionize_fn(entity, ts, measure, gap_us, late_counter)
 
     stream = events.withColumn(ts, F.col(ts).cast("timestamp")).withWatermark(
         ts, watermark

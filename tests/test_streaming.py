@@ -153,3 +153,87 @@ def test_late_drop_metric_counts_beyond_watermark_event(spark, tmp_path):
         for r in spark.sql("SELECT * FROM late_drop_stream").collect()
     }
     assert sessions[("2024-01-01 00:00:00", "2024-01-01 00:10:00")] == 2
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the state functions."""
+
+    def __init__(self, stored=None, watermark_ms=0):
+        self._stored = stored
+        self._wm = watermark_ms
+        self.hasTimedOut = False
+        self.timeout_set = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._stored is not None
+
+    @property
+    def get(self):
+        return self._stored
+
+    def update(self, v):
+        self._stored = tuple(v)
+
+    def remove(self):
+        self._stored, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _late_only_batch(entity, ts, measure, ts_us):
+    import pandas as pd
+
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    entity: ["u1"],
+                    ts: [pd.Timestamp(ts_us, unit="us")],
+                    measure: [1.0],
+                }
+            )
+        ]
+    )
+
+
+def test_all_late_batch_rearms_sessionize_timeout():
+    """ADVICE r2: a batch whose rows are ALL lag-window late must re-arm
+    the pending event-time timeout from stored state, or the open
+    session never staleness-flushes."""
+    from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
+        make_sessionize_fn,
+    )
+
+    gap_us = int(GAP * 1_000_000)
+    fn = make_sessionize_fn("user_id", "ts", "value", gap_us)
+    start_us, end_us = 1_000_000_000, 2_000_000_000
+    state = _FakeState(
+        stored=(start_us, end_us, 3, 9.0),
+        watermark_ms=10_000_000,  # 10_000s — far past the late row below
+    )
+    out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
+    assert out == []  # nothing emitted, nothing merged
+    assert state.get == (start_us, end_us, 3, 9.0)  # state untouched
+    assert state.timeout_set == (end_us + gap_us) // 1000  # re-armed
+
+
+def test_all_late_batch_rearms_dual_rate_timeout():
+    from slowfast_feature_extractor_spark.streaming.dual_rate_stream import (
+        make_dual_rate_fn,
+    )
+
+    fn = make_dual_rate_fn("user_id", "ts", "value", 2, 4)
+    hist_ts = [1_000_000_000, 2_000_000_000]
+    state = _FakeState(
+        stored=(hist_ts, [1.0, 2.0], 2),
+        watermark_ms=10_000_000,
+    )
+    out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
+    assert out == []
+    assert state.timeout_set == max(hist_ts) // 1000 + 3_600_000
