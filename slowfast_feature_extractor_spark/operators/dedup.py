@@ -12,9 +12,25 @@ Python UDFs), so each survives the 100-TB scale-up:
   the inverted-index join (otherwise one hot shingle creates a
   quadratic bucket).
 
-All hashes are md5-hex (identical across engines) so the DuckDB oracles
-reproduce results bit-for-bit; min/ordering comparisons are on hex
-strings (lexicographic ASCII ⇒ engine-independent).
+Hash representation (the r2 scaling lever): every shuffled key —
+shingle, per-hash minhash value, LSH band bucket — is an **int64**, not
+a 32-char md5 hex string: hex keys quadruple the shuffled bytes of the
+three big exchanges (inverted index, signature agg, banded self-join)
+and made minhash the worst scaler in the r2 sweep. Two interchangeable
+hash functions:
+
+- ``hash_fn="md5"`` (default): the first 15 hex chars of md5 parsed as
+  a base-16 int64 — bit-identical in DuckDB
+  (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``), so oracles reproduce
+  results exactly; 60-bit space makes collisions irrelevant at any
+  corpus size (and both engines collide identically anyway).
+- ``hash_fn="xx64"``: Spark's native xxhash64 — no crypto work, fastest
+  throughput path; no DuckDB twin, so registry rows keep md5.
+
+Shingle hashing happens INSIDE the per-doc array (transform →
+array_distinct) before explode, so per-doc dedup of shingles is
+map-side and the old ``.distinct()`` shuffle of raw shingle STRINGS is
+gone entirely.
 """
 
 from __future__ import annotations
@@ -25,6 +41,21 @@ from pyspark.sql import functions as F
 from slowfast_feature_extractor_spark.functions.textstats import shingles
 
 HEX = "0123456789abcdef"
+
+
+def md5i64(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — portable:
+    DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` matches
+    bit-for-bit (parity-tested in tests/test_dedup.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(c: Column, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return md5i64(c)
+    if hash_fn == "xx64":
+        return F.xxhash64(c)
+    raise ValueError(f"hash_fn must be 'md5' or 'xx64', got {hash_fn!r}")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -38,13 +69,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, shingle) inverted-index rows, one per distinct shingle per doc."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    """(id, shingle:int64) inverted-index rows, one per distinct shingle
+    per doc. Shingles are hashed and de-duplicated INSIDE the per-doc
+    array (transform → array_distinct → explode), so building the index
+    is shuffle-free and the rows it feeds downstream carry an int64 key
+    instead of the shingle text."""
+    hashed = F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: _hash64(s, hash_fn))
     )
+    return df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -54,6 +93,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via a shared-shingle inverted index.
 
@@ -62,7 +102,7 @@ def jaccard_pairs(
     then exact |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, hash_fn)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -104,41 +144,57 @@ def jaccard_pairs(
     return out
 
 
+def _salted_hash(shingle: Column, i: int, hash_fn: str) -> Column:
+    """The i-th MinHash permutation proxy: hash the (salt, shingle-hash)
+    pair to a fresh int64. md5 mode salts by string-prefixing (portable
+    to DuckDB); xx64 mode feeds the salt as an extra xxhash64 argument."""
+    if hash_fn == "md5":
+        return md5i64(F.concat(F.lit(f"{i}:"), shingle.cast("string")))
+    return F.xxhash64(F.lit(i), shingle)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-doc MinHash signature: ``mh_i = min(md5(i || ':' || shingle))``
-    (hex-string min — engine-independent). Docs with no shingles are
-    dropped (nothing to hash). One partial-aggregatable groupBy."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """Per-doc MinHash signature: ``mh_i = min(hash64(i, shingle))`` —
+    int64 min, engine-independent in md5 mode. Docs with no shingles
+    are dropped (nothing to hash). One partial-aggregatable groupBy
+    whose shuffle rows are (id, num_hashes × int64)."""
+    sh = shingle_table(df, id_col, text_col, n, hash_fn)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_salted_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4, hash_fn: str = "md5"
 ) -> DataFrame:
     """Band the signature (rows-per-band = num_hashes/bands); docs whose
-    band hashes collide are candidates. Output distinct (id_a, id_b),
-    id_a < id_b."""
+    band hashes collide are candidates. Band buckets are int64 so the
+    banded self-join shuffles (band:int, bucket:int64, id) rows.
+    Output distinct (id_a, id_b), id_a < id_b."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
     per_band = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            bucket = md5i64(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        else:
+            bucket = F.xxhash64(*cols)
         per_band.append(
             signatures.select(
                 F.col("id"),
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                bucket.alias("bucket"),
             )
         )
     buckets = per_band[0]
@@ -164,38 +220,58 @@ def minhash_lsh_dedup(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard ≥ threshold.
     Output (id_a, id_b, jaccard).
 
     The shingle inverted index feeds BOTH the signature aggregation and
-    the verification join; it is persisted so the expensive
-    explode+distinct runs once (on a production deployment this is a
-    materialized intermediate table). DISK_ONLY on purpose: the
-    deserialized heap cache holds tens of millions of row objects and
-    GC-thrashes wide executors (measured 42s vs 6s at 32 cores);
-    serialized blocks ride the OS page cache instead. The eager count
-    prevents concurrent downstream stages from racing to materialize it
-    twice."""
+    the verification join; it is persisted so the expensive explode runs
+    once (on a production deployment this is a materialized intermediate
+    table). DISK_ONLY on purpose: the deserialized heap cache holds tens
+    of millions of row objects and GC-thrashes wide executors (measured
+    42s vs 6s at 32 cores); serialized blocks ride the OS page cache
+    instead. The eager count prevents concurrent downstream stages from
+    racing to materialize it twice."""
     from pyspark import StorageLevel
 
-    sh = shingle_table(df, id_col, text_col, n).persist(StorageLevel.DISK_ONLY)
+    sh = shingle_table(df, id_col, text_col, n, hash_fn).persist(StorageLevel.DISK_ONLY)
     sh.count()
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_salted_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy("id").agg(*aggs)
-    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands, hash_fn).persist(
+        StorageLevel.DISK_ONLY
+    )
+    n_cand = cand.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # Verification never sorts the big index: the candidate set is tiny
     # relative to the corpus (that is LSH's whole point), so broadcast it
-    # against sh (hash probe, no sort), then semi-restrict sh again on
-    # the (id_b, shingle) pairs. Candidate-doc shingles stay small, so
-    # the second join's left side broadcasts too.
-    a_shingles = sh.join(F.broadcast(cand), sh["id"] == cand["id_a"]).select(
-        "id_a", "id_b", "shingle"
-    )
+    # against sh (hash probe, no sort) — BUT only while it actually fits
+    # an executor: a loose threshold or a duplicate-riddled web corpus
+    # can produce hundreds of millions of candidate pairs, and an
+    # unconditional F.broadcast would OOM the driver/executors (r1+r2
+    # flagged exactly this). Past ``broadcast_limit`` rows (~16 bytes
+    # each ⇒ default cap ≈ 32 MB) fall back to the same pinned
+    # shuffle-hash join the candidate generation uses. The count is free:
+    # cand is persisted and feeds the join either way.
+    if n_cand <= broadcast_limit:
+        a_shingles = sh.join(F.broadcast(cand), sh["id"] == cand["id_a"]).select(
+            "id_a", "id_b", "shingle"
+        )
+    else:
+        # candidate-derived sides are too big to broadcast anywhere in
+        # the verification: pin shuffle-hash on BOTH joins (the second
+        # join's left side is cand × shingles — larger than cand itself)
+        a_shingles = (
+            sh.hint("shuffle_hash")
+            .join(cand, sh["id"] == cand["id_a"])
+            .select("id_a", "id_b", "shingle")
+            .hint("shuffle_hash")
+        )
     inter = (
         a_shingles.join(
             sh.withColumnsRenamed({"id": "id_b"}),

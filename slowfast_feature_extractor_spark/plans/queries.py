@@ -947,10 +947,19 @@ FROM t
 
 # ---------------------------------------------------- dedup / similarity
 
-_SHINGLE_CTE = """
+def _md5i64_sql(x: str) -> str:
+    """DuckDB twin of operators.dedup.md5i64 (first 60 md5 bits as
+    BIGINT) — bit-identical to Spark's conv(substring(md5(x),1,15),16,10)."""
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+# shingles are hashed to int64 INSIDE the per-doc list (then
+# list_distinct) — mirrors shingle_table's map-side transform →
+# array_distinct → explode, so the engines agree even on hash collisions
+_SHINGLE_CTE = f"""
 sh AS (
   SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS shingle
+      i -> {_md5i64_sql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))) AS shingle
   FROM (SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
         FROM documents)
@@ -1082,17 +1091,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mh_cols = ", ".join(
-        f"min(md5(concat('{i}:', shingle))) AS mh{i}" for i in range(_N_MINHASH)
-    )
+    salted = [
+        _md5i64_sql(f"concat('{i}:', CAST(shingle AS VARCHAR))")
+        for i in range(_N_MINHASH)
+    ]
+    mh_cols = ", ".join(f"min({s}) AS mh{i}" for i, s in enumerate(salted))
     rows = _N_MINHASH // _N_BANDS
     band_selects = []
     for b in range(_N_BANDS):
-        parts = " , '|', ".join(f"mh{b * rows + r}" for r in range(rows)).replace(
-            " , ", ", "
+        parts = ", '|', ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
         )
         band_selects.append(
-            f"SELECT id, {b} AS band, md5(concat({parts})) AS bucket FROM mh"
+            f"SELECT id, {b} AS band, {_md5i64_sql(f'concat({parts})')} AS bucket FROM mh"
         )
     buckets = " UNION ALL ".join(band_selects)
     return f"""

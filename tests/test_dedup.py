@@ -72,3 +72,64 @@ def test_dedup_clusters_components(spark):
     )
     got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {3: 3, 9: 3, 5: 3, 7: 3, 20: 20, 21: 20}
+
+
+def test_md5i64_matches_duckdb(spark):
+    """md5i64 (Spark conv/substring/md5) is bit-identical to the DuckDB
+    oracle expression CAST('0x'||substr(md5(x),1,15) AS BIGINT) — the
+    contract every int64-keyed dedup oracle relies on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = ["abc", "", "héllo wörld", "a b c d e", "0", "é中文"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", DD.md5i64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        expect = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == expect, v
+
+
+def test_minhash_xx64_mode_exact_subset(docs):
+    """hash_fn='xx64' (native xxhash64, no DuckDB twin) must still emit
+    only EXACT-verified pairs: its output is a subset of the all-pairs
+    Jaccard relation with identical similarity values, and it finds the
+    planted near-dup pair."""
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.jaccard_pairs(docs, threshold=0.3).collect()}
+    xx = {(r.id_a, r.id_b): r.jaccard for r in
+          DD.minhash_lsh_dedup(docs, threshold=0.3, hash_fn="xx64").collect()}
+    assert xx  # bands collide for the planted dups
+    for pair, j in xx.items():
+        assert exact[pair] == j
+    assert (1, 2) in xx  # exact dup always collides in every band
+
+
+def test_minhash_broadcast_guard_falls_back(docs):
+    """broadcast_limit=0 forces the shuffle-hash verification join; the
+    result is identical and the plan carries no explicit broadcast of
+    the candidate set (VERDICT r2 item 4: unguarded F.broadcast(cand)
+    overflows on a duplicate-riddled corpus)."""
+    base = {(r.id_a, r.id_b): r.jaccard for r in
+            DD.minhash_lsh_dedup(docs, threshold=0.3).collect()}
+    def physical(df):
+        return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+
+    default_df = DD.minhash_lsh_dedup(docs, threshold=0.3)
+    guarded_df = DD.minhash_lsh_dedup(docs, threshold=0.3, broadcast_limit=0)
+    # the explicit candidate broadcast is gone (Catalyst may still
+    # broadcast the stats-known tiny corpus-side aggregates on this
+    # fixture; those are its call, not the guarded hint)
+    assert physical(guarded_df).count("BroadcastExchange") < physical(
+        default_df
+    ).count("BroadcastExchange")
+    assert physical(guarded_df).count("ShuffledHashJoin") > physical(
+        default_df
+    ).count("ShuffledHashJoin")
+    guarded = {(r.id_a, r.id_b): r.jaccard for r in guarded_df.collect()}
+    assert guarded == base
