@@ -1745,6 +1745,14 @@ FROM idx
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
+    # rows below run FIRST after the flagships: the driver caps its
+    # per-round correctness sweep at 50 rows, and dict order decides who
+    # is in it — never-yet-confirmed and newest rows go up front, rows
+    # green in multiple prior rounds rotate to the back.
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
+    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
+    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
+    "json_export": (q_json_export, ORACLE_JSON_EXPORT),
     "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
     "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
     "asof_join": (q_asof_join, _oracle_asof(">=")),
@@ -1793,10 +1801,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
     "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
-    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
-    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
-    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
-    "json_export": (q_json_export, ORACLE_JSON_EXPORT),
 }
 
 
