@@ -32,44 +32,18 @@ from pyspark.sql import functions as F
 from slowfast_feature_extractor_spark.operators.windows import emit_rate_aggs
 
 
-def dual_rate_features_chunked(
-    df: DataFrame,
-    entity: str = "url",
-    ts: str = "warc_ts",
-    measure: str = "value",
-    fast_rows: int = 8,
-    slow_rows: int = 64,
-    strict: bool = True,
-    tiebreak: str | None = None,
-    chunk: Column | None = None,
-    round_to: int | None = None,
-    prefix_fast: str = "fast",
-    prefix_slow: str = "slow",
+def chunk_carries(
+    base: DataFrame,
+    entity: str,
+    order_cols: list[str],
+    slow_rows: int,
 ) -> DataFrame:
-    """Skew-robust equivalent of ``windows.dual_rate_features``.
-
-    Returns a slim feature table keyed by (entity, ts[, tiebreak]) with
-    the same aggregate columns ({fast,slow}_{avg,sum,min,max,cnt},
-    n_hist_rows, max_input_ts) — exactly equal to the single-partition
-    operator's values. ``chunk`` defaults to ``to_date(ts)``; any
-    deterministic, per-entity-monotone-in-ts expression works. Size
-    chunks so rows-per-chunk >> ``slow_rows``: each chunk pays a
-    ≤ ``slow_rows``-row carry, so day chunks on a million-revisit url
-    are ideal while SPARSE entities want coarser chunks (or the plain
-    operator — chunking buys nothing when one entity fits one task).
-
-    Requires ``fast_rows <= slow_rows`` (the carry holds ``slow_rows``
-    rows, which bounds every frame).
-    """
-    if fast_rows > slow_rows:
-        raise ValueError("fast_rows must be <= slow_rows (carry bound)")
-    end = -1 if strict else 0
-    chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
-    order_cols = [ts] + ([tiebreak] if tiebreak else [])
-
-    keep = [entity, *order_cols, measure]
-    base = df.select(*keep).withColumn("__chunk", chunk_expr)
-
+    """Carry rows for every (entity, __chunk): copies of the last
+    ``slow_rows`` rows that precede the chunk in the entity's timeline,
+    re-labelled with the chunk they carry into. ``base`` must already
+    hold a ``__chunk`` column monotone (per entity) in the order
+    columns. Shared by the chunked dual-rate operator and the chunked
+    flagship (plans/featurize.py)."""
     # --- per-chunk tails: last slow_rows rows of each (entity, chunk) —
     # a distributed window; hot entities already split across chunks here
     w_desc = Window.partitionBy(entity, "__chunk").orderBy(
@@ -109,25 +83,71 @@ def dual_rate_features_chunked(
     # through a single Python worker (measured 7.8s -> 0.9s at 32
     # cores); an explicit-count repartition is exempt from AQE coalesce
     # and already satisfies the groupBy's clustering requirement
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    carries = (
+    n_part = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
         tails.repartition(n_part, entity)
         .groupBy(entity)
         .applyInPandas(_fold, schema=carry_schema)
     )
 
-    # --- per-chunk prefix counts for the unbounded aggregate
+
+def chunk_prefix_counts(base: DataFrame, entity: str) -> DataFrame:
+    """(entity, __chunk, __prefix) — rows strictly before each chunk,
+    from a cumsum over the tiny per-chunk count relation (feeds the
+    unbounded aggregates that a bounded carry cannot reconstruct)."""
     counts = base.groupBy(entity, "__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
     w_chunks = (
         Window.partitionBy(entity)
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = counts.select(
+    return counts.select(
         entity,
         "__chunk",
         F.coalesce(F.sum("__cnt").over(w_chunks), F.lit(0)).alias("__prefix"),
     )
+
+
+def dual_rate_features_chunked(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    measure: str = "value",
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    strict: bool = True,
+    tiebreak: str | None = None,
+    chunk: Column | None = None,
+    round_to: int | None = None,
+    prefix_fast: str = "fast",
+    prefix_slow: str = "slow",
+) -> DataFrame:
+    """Skew-robust equivalent of ``windows.dual_rate_features``.
+
+    Returns a slim feature table keyed by (entity, ts[, tiebreak]) with
+    the same aggregate columns ({fast,slow}_{avg,sum,min,max,cnt},
+    n_hist_rows, max_input_ts) — exactly equal to the single-partition
+    operator's values. ``chunk`` defaults to ``to_date(ts)``; any
+    deterministic, per-entity-monotone-in-ts expression works. Size
+    chunks so rows-per-chunk >> ``slow_rows``: each chunk pays a
+    ≤ ``slow_rows``-row carry, so day chunks on a million-revisit url
+    are ideal while SPARSE entities want coarser chunks (or the plain
+    operator — chunking buys nothing when one entity fits one task).
+
+    Requires ``fast_rows <= slow_rows`` (the carry holds ``slow_rows``
+    rows, which bounds every frame).
+    """
+    if fast_rows > slow_rows:
+        raise ValueError("fast_rows must be <= slow_rows (carry bound)")
+    end = -1 if strict else 0
+    chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+
+    keep = [entity, *order_cols, measure]
+    base = df.select(*keep).withColumn("__chunk", chunk_expr)
+
+    carries = chunk_carries(base, entity, order_cols, slow_rows)
+    prefix = chunk_prefix_counts(base, entity)
 
     # --- merged window pass over (entity, chunk): carry rows sort first
     # (they come from strictly earlier chunks, hence earlier ts)

@@ -30,7 +30,13 @@ from slowfast_feature_extractor_spark.functions.extraction import extract_text_u
 from slowfast_feature_extractor_spark.functions.vector import resample_udf
 from slowfast_feature_extractor_spark.operators.asof_join import asof_join
 from slowfast_feature_extractor_spark.operators.sessionize import sessionize  # noqa: F401
+from slowfast_feature_extractor_spark.operators.skew import (
+    chunk_carries,
+    chunk_prefix_counts,
+)
 from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
+
+_CHUNK_TRUNCS = ("day", "week", "month", "year")
 
 
 def salted_buckets(
@@ -51,6 +57,7 @@ def featurize_pages(
     fast_len: int = 32,
     slow_len: int = 8,
     tiebreak: str | None = None,
+    chunk_trunc: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → features(url, warc_ts,
     slow_vec, fast_vec, fused_vec, n_hist_rows, max_input_ts).
@@ -75,7 +82,17 @@ def featurize_pages(
     - determinism: (url, warc_ts) is the natural key of a crawl-snapshot
       table; when the input cannot guarantee uniqueness, pass
       ``tiebreak`` (a column name) to make every window frame
-      well-defined under duplicate timestamps.
+      well-defined under duplicate timestamps;
+    - skew: ``chunk_trunc`` (``"day" | "week" | "month" | "year"``)
+      switches the temporal stage to range-partition-with-carry
+      (operators/skew.py) so a million-revisit url parallelizes across
+      its time chunks instead of serializing through one task — the
+      reference's one-video-one-unit assumption is exactly what breaks
+      at 100× (SURVEY §4). Values are EXACTLY equal to the unchunked
+      plan (parity-tested); requires ``fast_rows <= slow_rows`` and a
+      chunk no finer than the day anchors (so every chunk's first real
+      row is an anchor and the slow-pathway carry-forward never has to
+      cross a chunk boundary).
     """
     # Stage 1 (embarrassingly parallel): extraction UDF evaluated EXACTLY
     # once per row — the plan below never branches before this point, so
@@ -88,12 +105,36 @@ def featurize_pages(
         .select(*keep, F.length("text").cast("double").alias("measure"))
     )
 
-    # Stage 2: ONE hash partition on url + ONE in-partition sort serves
-    # every window family below (fast frame, slow frame, history bounds,
-    # anchor detection, and the inlined as-of carry-forward) — the analog
-    # of the reference extracting all feature depths from a single
-    # forward pass (reference/just_test_v1.py:544-583).
+    # Stage 2: the temporal stage. Plain path: ONE hash partition on url
+    # + ONE in-partition sort serves every window family below (fast
+    # frame, slow frame, history bounds, anchor detection, and the
+    # inlined as-of carry-forward) — the analog of the reference
+    # extracting all feature depths from a single forward pass
+    # (reference/just_test_v1.py:544-583). Chunked path: the same family
+    # over (url, time-chunk) partitions with a ≤ slow_rows-row carry.
     order = ["warc_ts"] + ([tiebreak] if tiebreak else [])
+    if chunk_trunc is not None:
+        windowed = _windowed_chunked(df, order, fast_rows, slow_rows, chunk_trunc)
+    else:
+        windowed = _windowed_plain(df, order, fast_rows, slow_rows)
+    out = windowed.withColumn(
+        "fast_vec", resample_udf(fast_len)(F.col("__fast_raw"))
+    ).withColumn("slow_vec", resample_udf(slow_len)(F.col("__slow_raw")))
+    zeros = F.array_repeat(F.lit(0.0), slow_len)
+    return out.select(
+        "url",
+        "warc_ts",
+        F.coalesce("slow_vec", zeros).alias("slow_vec"),
+        "fast_vec",
+        F.concat(F.coalesce("slow_vec", zeros), "fast_vec").alias("fused_vec"),
+        "n_hist_rows",
+        "max_input_ts",
+    )
+
+
+def _windowed_plain(
+    df: DataFrame, order: list[str], fast_rows: int, slow_rows: int
+) -> DataFrame:
     w = Window.partitionBy("url").orderBy(*order)
     fast_frame = w.rowsBetween(-fast_rows, -1)
     slow_frame = w.rowsBetween(-slow_rows, -1)
@@ -111,7 +152,7 @@ def featurize_pages(
     # case uses operators.asof_join). Consecutive Window nodes preserve
     # partitioning+ordering, so no UDF may appear between them: both
     # resample UDFs run once, at the tail, after every window.
-    windowed = (
+    return (
         df.withColumn("__fast_raw", F.collect_list("measure").over(fast_frame))
         .withColumn(
             "__slow_at_anchor",
@@ -123,18 +164,83 @@ def featurize_pages(
             "__slow_raw", F.last("__slow_at_anchor", ignorenulls=True).over(carry_frame)
         )
     )
-    out = windowed.withColumn(
-        "fast_vec", resample_udf(fast_len)(F.col("__fast_raw"))
-    ).withColumn("slow_vec", resample_udf(slow_len)(F.col("__slow_raw")))
-    zeros = F.array_repeat(F.lit(0.0), slow_len)
-    return out.select(
-        "url",
-        "warc_ts",
-        F.coalesce("slow_vec", zeros).alias("slow_vec"),
-        "fast_vec",
-        F.concat(F.coalesce("slow_vec", zeros), "fast_vec").alias("fused_vec"),
-        "n_hist_rows",
-        "max_input_ts",
+
+
+def _windowed_chunked(
+    df: DataFrame,
+    order: list[str],
+    fast_rows: int,
+    slow_rows: int,
+    chunk_trunc: str,
+) -> DataFrame:
+    """The flagship window family over (url, time-chunk) partitions —
+    range-partition-with-carry (operators/skew.py), exactly equal to
+    :func:`_windowed_plain`.
+
+    Why exactness holds with day-or-coarser chunks:
+
+    - every ROWS frame reaches back ≤ ``slow_rows`` rows, which the
+      carry rows (last ``slow_rows`` rows before the chunk) supply;
+    - a chunk never splits a day, so the first REAL row of every chunk
+      sees a lag(day) from an earlier day (its carry predecessor or
+      nothing) ⇒ it IS a day anchor, and the slow-pathway
+      last(ignorenulls) carry-forward always resolves to a real anchor
+      inside the chunk — carry rows' own (partial-history) anchor
+      values are never selected because carries sort strictly before
+      every real row;
+    - ts is ordered, so max(history ts) = the immediate predecessor's
+      ts, which the carry contains; n_hist_rows needs true prefix counts
+      (a bounded carry can't count unbounded history) — supplied by the
+      cumsum over the per-chunk count relation.
+    """
+    if fast_rows > slow_rows:
+        raise ValueError("fast_rows must be <= slow_rows (carry bound)")
+    if chunk_trunc not in _CHUNK_TRUNCS:
+        raise ValueError(
+            f"chunk_trunc must be one of {_CHUNK_TRUNCS} (no finer than the "
+            f"day anchors), got {chunk_trunc!r}"
+        )
+    base = df.withColumn("__chunk", F.date_trunc(chunk_trunc, F.col("warc_ts")))
+    carries = chunk_carries(base, "url", order, slow_rows)
+    prefix = chunk_prefix_counts(base, "url")
+
+    merged = base.withColumn("__carry", F.lit(0)).unionByName(
+        carries.withColumn("__carry", F.lit(1))
+    )
+    w = Window.partitionBy("url", "__chunk").orderBy(*[F.col(c).asc() for c in order])
+    fast_frame = w.rowsBetween(-fast_rows, -1)
+    slow_frame = w.rowsBetween(-slow_rows, -1)
+    hist_frame = w.rowsBetween(Window.unboundedPreceding, -1)
+    carry_frame = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    day = F.to_date("warc_ts")
+    is_anchor = F.lag(day).over(w).isNull() | (F.lag(day).over(w) != day)
+
+    windowed = (
+        merged.withColumn("__fast_raw", F.collect_list("measure").over(fast_frame))
+        .withColumn(
+            "__slow_at_anchor",
+            F.when(is_anchor, F.collect_list("measure").over(slow_frame)),
+        )
+        .withColumn(
+            "__local_hist",
+            F.count(F.when(F.col("__carry") == 0, F.lit(1))).over(hist_frame),
+        )
+        .withColumn("max_input_ts", F.max("warc_ts").over(hist_frame))
+        .withColumn(
+            "__slow_raw", F.last("__slow_at_anchor", ignorenulls=True).over(carry_frame)
+        )
+        .filter(F.col("__carry") == 0)
+    )
+    # tiny per-chunk relation joined on the window's own partition keys —
+    # the big side keeps its partitioning (no extra exchange)
+    return (
+        windowed.join(prefix, ["url", "__chunk"], "left")
+        .withColumn(
+            "n_hist_rows",
+            F.coalesce(F.col("__prefix"), F.lit(0)) + F.col("__local_hist"),
+        )
+        .drop("__chunk", "__carry", "__local_hist", "__prefix")
     )
 
 

@@ -83,3 +83,36 @@ def test_first_row_zero_padded(features):
     first = features.sort_values(["url", "warc_ts"]).groupby("url").head(1)
     for _, r in first.iterrows():
         assert list(r["fast_vec"]) == [0.0] * FAST_LEN  # no history → zeros
+
+
+@pytest.mark.parametrize("trunc", ["day", "month"])
+def test_chunked_flagship_exact_parity(spark, pages_df, features, trunc):
+    """featurize_pages(chunk_trunc=...) — the skew path for
+    million-revisit urls — is EXACTLY equal to the unchunked plan:
+    same rows, same vectors bit-for-bit, same audit columns."""
+    chunked = featurize_pages(
+        pages_df, fast_rows=FAST_ROWS, slow_rows=SLOW_ROWS,
+        fast_len=FAST_LEN, slow_len=SLOW_LEN, chunk_trunc=trunc,
+    ).toPandas()
+    assert set(chunked.columns) == set(features.columns)
+    key = ["url", "warc_ts"]
+    a = features.sort_values(key).reset_index(drop=True)
+    b = chunked.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["url"] == b["url"]).all()
+    assert (a["warc_ts"] == b["warc_ts"]).all()
+    assert (a["n_hist_rows"] == b["n_hist_rows"]).all()
+    assert a["max_input_ts"].isna().equals(b["max_input_ts"].isna())
+    both = ~a["max_input_ts"].isna()
+    assert (a.loc[both, "max_input_ts"] == b.loc[both, "max_input_ts"]).all()
+    for col in ("slow_vec", "fast_vec", "fused_vec"):
+        va = np.array(a[col].tolist())
+        vb = np.array(b[col].tolist())
+        np.testing.assert_array_equal(va, vb, err_msg=f"{trunc}:{col}")
+
+
+def test_chunked_flagship_rejects_bad_args(pages_df):
+    with pytest.raises(ValueError, match="chunk_trunc"):
+        featurize_pages(pages_df, chunk_trunc="hour")
+    with pytest.raises(ValueError, match="fast_rows"):
+        featurize_pages(pages_df, fast_rows=99, slow_rows=8, chunk_trunc="day")
