@@ -207,6 +207,36 @@ def knn_bruteforce_blocked(
     )
 
 
+def _estimate_rows(df: DataFrame, max_files: int = 256) -> int | None:
+    """Row estimate WITHOUT running a job: exact count from local
+    parquet footers (cheap — footers only) when the scan has a bounded
+    local file set, else Catalyst's rowCount statistic when the table
+    is analyzed, else None. Over-counting (scan-level filters) only
+    inflates the block count, never correctness."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) <= max_files:
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
 def embedding_neardup_blocked(
     df: DataFrame,
     threshold: float = 0.95,
@@ -238,7 +268,14 @@ def embedding_neardup_blocked(
     import numpy as np
 
     if n_blocks is None:
-        n = df.count()
+        # NO planning-time Spark job (r2 flagged the df.count() here):
+        # parquet footers give the exact row count driver-side for a
+        # bounded file set; Catalyst's rowCount stat covers analyzed
+        # tables. Only a non-file, non-analyzed source still pays a
+        # count — at production scale pass ``n_blocks`` explicitly.
+        n = _estimate_rows(df)
+        if n is None:
+            n = df.count()
         n_blocks = max(1, -(-n // rows_per_block))
     B = int(n_blocks)
 

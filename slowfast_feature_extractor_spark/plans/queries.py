@@ -1207,6 +1207,36 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
 
+_LSH_BITS = 4
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH-bucketed configuration of the blocked near-dup
+    (``bits=4`` — the 10^7+-row scale path): block-pair GEMMs run only
+    within a sign bucket. The bucketing (axis-aligned hyperplanes,
+    operators/similarity.sign_bucket) is deterministic, so the DuckDB
+    oracle reproduces the approximate semantics EXACTLY — this row
+    checks plan correctness; recall-vs-exact is asserted separately on
+    planted near-dups (tests/test_similarity.py)."""
+    return SIM.embedding_neardup_blocked(
+        _emb(spark, sf_dir), threshold=0.4, bits=_LSH_BITS
+    )
+
+
+def _dedup_embedding_lsh_oracle() -> str:
+    bkt = " + ".join(
+        f"(CASE WHEN v[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_BITS)
+    )
+    return f"""
+WITH e AS ({_EMB_DOUBLE}),
+b AS (SELECT vec_id, v, {bkt} AS bkt FROM e)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b2.v), 6) AS sim
+FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.4
+"""
+
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the embedding
@@ -1770,6 +1800,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows

@@ -67,3 +67,61 @@ def test_embedding_neardup_blocked_lsh_restricts_to_sign_bucket(emb):
     # vec 3 has negative first dim -> its pairs with 0/1/4 cross buckets
     assert (0, 3) not in out and (1, 3) not in out
     assert (0, 4) in out and (0, 1) in out
+
+
+def test_blocked_neardup_no_planning_job(spark, tmp_path):
+    """n_blocks=None must not run a count() job at plan time: the row
+    estimate comes from parquet footers (VERDICT r2 item 8)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100),
+         "embedding": [rng.normal(size=8).astype("float32") for _ in range(100)]}
+    )
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").write.parquet(path)
+    df = spark.read.parquet(path)
+    est = SIM._estimate_rows(df)
+    assert est == 100  # exact, from footers, zero Spark jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = SIM.embedding_neardup_blocked(df, threshold=0.99)  # plan only
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # planning launched no job
+    assert out.schema.simpleString() == "struct<id_a:bigint,id_b:bigint,sim:double>"
+
+
+def test_sign_lsh_recall_on_planted_neardups(spark):
+    """The bits= sign-LSH path targets the HIGH-threshold near-dup
+    regime: on planted near-duplicates (cos >= ~0.99 pairs) recall vs
+    the exact blocked path is >= 0.95; every emitted pair carries the
+    exact similarity (subset-exactness)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for base_i in range(60):  # 60 planted pairs
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(2):
+            v = base + rng.normal(scale=0.01, size=16)
+            rows.append((vid, v.astype("float32"))); vid += 1
+    for _ in range(200):  # background noise
+        rows.append((vid, rng.normal(size=16).astype("float32"))); vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<float>",
+    )
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in SIM.embedding_neardup_blocked(df, threshold=0.95).collect()}
+    lsh = {(r.id_a, r.id_b): r.sim
+           for r in SIM.embedding_neardup_blocked(df, threshold=0.95, bits=4).collect()}
+    assert len(exact) >= 60
+    for pair, sim in lsh.items():
+        assert exact[pair] == sim  # subset with exact values
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
