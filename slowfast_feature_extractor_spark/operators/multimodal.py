@@ -6,10 +6,14 @@ are opaque ``binary`` columns with typed metadata; the decode/feature
 step runs as Arrow-batched ``mapInPandas`` so bytes cross the JVM↔Python
 boundary once per batch, never per row.
 
-The image/audio codecs are not installed in this container, so the real
-decoders are STUBS that raise ``NotImplementedError``; the Spark-side
-plumbing (schema, batching, UDF signature, partitioning) is real and
-tested via :func:`media_meta`'s deterministic fake featurizer.
+The audio path is REAL end-to-end: :func:`decode_audio` parses WAV
+containers with the stdlib ``wave`` module (header + PCM frames, byte
+round-trip tested) and :func:`audio_meta` runs it Arrow-batched with an
+analytic DuckDB oracle (``multimodal_audio``). The image codecs are not
+installed in this container, so those decoders remain STUBS that raise
+``NotImplementedError``; their Spark-side plumbing (schema, batching,
+UDF signature, partitioning) is real and tested via
+:func:`media_meta`'s deterministic fake featurizer.
 """
 
 from __future__ import annotations
@@ -34,8 +38,98 @@ def decode_image(data: bytes):  # pragma: no cover - stub
     raise NotImplementedError("image codec not available in this environment")
 
 
-def decode_audio(data: bytes):  # pragma: no cover - stub
-    raise NotImplementedError("audio codec not available in this environment")
+def decode_audio(data: bytes) -> dict:
+    """REAL audio decode for WAV containers via the stdlib ``wave``
+    module (no third-party codec needed): parses the RIFF header and
+    returns the PCM frames plus format metadata. This is the analog of
+    the reference's decode step (reference/datasets/videoset.py:66-139)
+    for the one media format the standard library can parse end-to-end;
+    other containers still need a production codec (see
+    :func:`decode_image`)."""
+    import io
+    import wave as wavelib
+
+    with wavelib.open(io.BytesIO(data), "rb") as w:
+        nf = w.getnframes()
+        return {
+            "sample_rate": w.getframerate(),
+            "channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "n_frames": nf,
+            "pcm": w.readframes(nf),
+        }
+
+
+def synth_wav(sample_rate: int, channels: int, frames) -> bytes:
+    """Serialize int16 PCM frames (iterable of per-channel tuples or a
+    flat interleaved iterable) into a real WAV blob via stdlib ``wave``
+    — the deterministic generator behind the audio test fixtures and
+    the ``multimodal_audio`` registry row."""
+    import io
+    import struct
+    import wave as wavelib
+
+    flat = []
+    for fr in frames:
+        if isinstance(fr, (tuple, list)):
+            flat.extend(fr)
+        else:
+            flat.append(fr)
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(flat)}h", *flat))
+    return buf.getvalue()
+
+
+def audio_meta(
+    df: DataFrame, media_col: str = "audio", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL decode of a WAV binary column →
+    (doc_id, sample_rate, channels, sample_width, n_frames, duration_ms,
+    sum_abs, peak): header metadata plus integer amplitude aggregates
+    over the decoded PCM (integers so cross-engine hashes are exact).
+    Null/empty blobs yield a null-metadata row rather than failing the
+    batch (the engine's P9 frame-validity policy)."""
+    import numpy as np
+
+    cols = [
+        "sample_rate", "channels", "sample_width", "n_frames",
+        "duration_ms", "sum_abs", "peak",
+    ]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in ["doc_id", *cols]}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                rows["doc_id"].append(i)
+                try:
+                    d = decode_audio(bytes(b))
+                except Exception:
+                    for c in cols:
+                        rows[c].append(None)
+                    continue
+                pcm = np.frombuffer(d["pcm"], dtype="<i2").astype("int64")
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["channels"].append(d["channels"])
+                rows["sample_width"].append(d["sample_width"])
+                rows["n_frames"].append(d["n_frames"])
+                rows["duration_ms"].append(
+                    d["n_frames"] * 1000 // d["sample_rate"]
+                )
+                rows["sum_abs"].append(int(np.abs(pcm).sum()))
+                rows["peak"].append(int(np.abs(pcm).max()) if len(pcm) else 0)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, sample_rate int, channels int, sample_width int, "
+        "n_frames long, duration_ms long, sum_abs long, peak int"
+    )
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _batches, schema=schema
+    )
 
 
 def fake_feature(n_bytes: int, k: int = 4) -> list[float]:

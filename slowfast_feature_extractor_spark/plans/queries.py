@@ -1599,6 +1599,75 @@ FROM d
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (stdlib WAV codec, operators/multimodal.py:
+    decode_audio): per document, a WAV blob is synthesized with
+    parameters and int16 samples derived deterministically from
+    (doc_id, text length), round-tripped through the actual RIFF
+    container, decoded, and reduced to integer amplitude aggregates.
+    The oracle recomputes every output analytically from the synth
+    formula — so a header-parse or PCM-unpack bug breaks the hash.
+    (The synth loop is per-row Python by design: it GENERATES the
+    fixture; the decode path under test is the Arrow-batched
+    mapInPandas operator.)"""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        audio_meta,
+        synth_wav,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "audio": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                sr = 8000 + (doc_id % 8) * 1000
+                chs = 1 + doc_id % 2
+                nf = 50 + (tlen % 200)
+                frames = [
+                    tuple(
+                        ((doc_id * 31 + i * 7 + ch * 13) % 2001) - 1000
+                        for ch in range(chs)
+                    )
+                    for i in range(nf)
+                ]
+                out["doc_id"].append(doc_id)
+                out["audio"].append(synth_wav(sr, chs, frames))
+            yield pd.DataFrame(out)
+
+    audio = d.mapInPandas(_synth, schema="doc_id long, audio binary")
+    return audio_meta(audio, media_col="audio", id_col="doc_id")
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 8) * 1000 AS sample_rate,
+         1 + (doc_id % 2) AS channels,
+         50 + (length(text) % 200) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(2 AS INT) AS sample_width,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(range(0, CAST(n_frames * channels AS INT)),
+            t -> abs(((doc_id * 31 + (t // channels) * 7 + (t % channels) * 13)
+                      % 2001) - 1000))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(range(0, CAST(n_frames * channels AS INT)),
+            t -> abs(((doc_id * 31 + (t // channels) * 7 + (t % channels) * 13)
+                      % 2001) - 1000))) AS INT) AS peak
+FROM p
+"""
+
+
 def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL API surface (Catalyst plans SQL and DataFrame identically):
     TPC-H-Q1-shaped pricing summary with exact cents arithmetic."""
@@ -1801,6 +1870,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
+    "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows

@@ -74,3 +74,45 @@ def test_frames_oracle_byte_accurate_on_non_ascii(spark, tmp_path):
         fn, sql = REGISTRY[name]
         ok, msg = compare(spark, str(tmp_path), fn, sql)
         assert ok, f"{name}: {msg}"
+
+
+def test_decode_audio_roundtrip_bytes_exact():
+    """decode_audio parses a real RIFF/WAV container: header fields and
+    PCM frames come back byte-identical to what synth_wav wrote."""
+    import struct
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_audio,
+        synth_wav,
+    )
+
+    frames = [(i * 5 - 300, -i * 3 + 100) for i in range(40)]  # stereo
+    blob = synth_wav(11025, 2, frames)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    d = decode_audio(blob)
+    assert (d["sample_rate"], d["channels"], d["sample_width"], d["n_frames"]) == (
+        11025, 2, 2, 40,
+    )
+    want = struct.pack("<80h", *[s for fr in frames for s in fr])
+    assert d["pcm"] == want
+
+
+def test_audio_meta_null_and_malformed(spark):
+    """Malformed blobs yield null-metadata rows, not task failures
+    (P9 frame-validity policy on the audio path)."""
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        audio_meta,
+        synth_wav,
+    )
+
+    good = synth_wav(8000, 1, [(100,), (-200,), (300,)])
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not a wav"), (3, b"")],
+        schema="doc_id long, audio binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert rows[1]["n_frames"] == 3
+    assert rows[1]["sum_abs"] == 600 and rows[1]["peak"] == 300
+    assert rows[1]["duration_ms"] == 0  # 3 frames @ 8kHz -> 0 ms floor
+    assert rows[2]["sample_rate"] is None
+    assert rows[3]["sample_rate"] is None
