@@ -46,6 +46,12 @@ def ledger_read(spark: SparkSession, ledger_dir: str) -> dict[int, dict]:
     return out
 
 
+def _json_bucket(b):
+    """Bucket id as a JSON-serializable value WITHOUT changing its type
+    (ADVICE r2: int() coercion broke string bucket ids)."""
+    return b.item() if hasattr(b, "item") else b
+
+
 def _ledger_commit(ledger_dir: str, rec: dict) -> None:
     os.makedirs(ledger_dir, exist_ok=True)
     path = os.path.join(ledger_dir, f"bucket-{rec['bucket']}.json")
@@ -110,7 +116,7 @@ def run_with_checkpoint(
     counts = {
         r[0]: r[1]
         for r in spark.read.parquet(output_dir)
-        .filter(F.col(bucket_col).isin([int(b) for b in pending]))
+        .filter(F.col(bucket_col).isin(list(pending)))
         .groupBy(bucket_col)
         .count()
         .collect()
@@ -121,7 +127,7 @@ def run_with_checkpoint(
         _ledger_commit(
             ledger_dir,
             {
-                "bucket": int(b),
+                "bucket": _json_bucket(b),
                 "n_rows": n,
                 "wall_ms": wall_ms,
                 "batch_id": batch_id,
@@ -135,3 +141,83 @@ def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
     # partition discovery restores the bucket column from the
     # bucket=<b> directory layout
     return spark.read.parquet(output_dir)
+
+
+def run_with_checkpoint_iceberg(
+    df: DataFrame,
+    table: str,
+    ledger_dir: str,
+    bucket_col: str = "bucket",
+    compute_fn: Callable[[DataFrame], DataFrame] | None = None,
+    max_buckets: int | None = None,
+    batch_id: str = "batch-0",
+) -> dict:
+    """Iceberg variant of :func:`run_with_checkpoint`: the data commit
+    is an Iceberg SNAPSHOT (``writeTo(table).overwritePartitions()`` —
+    atomic, replaces only the pending buckets' partitions) and every
+    ledger record carries the committing ``snapshot_id``, so lineage is
+    queryable (``table.snapshots``) and a bad batch is revertible with
+    a snapshot rollback. Requires an Iceberg catalog
+    (sources.sinks.iceberg_available); raises RuntimeError otherwise —
+    the parquet twin above is the sandbox path.
+
+    Same idempotence argument as the parquet path: a kill between the
+    snapshot commit and a bucket's ledger write re-runs the bucket and
+    overwrite-commits a fresh snapshot of the same partitions.
+    """
+    from slowfast_feature_extractor_spark.sources.sinks import (
+        iceberg_available,
+        last_snapshot_id,
+    )
+
+    spark = df.sparkSession
+    catalog = table.split(".")[0] if "." in table else "spark_catalog"
+    if not iceberg_available(spark, catalog):
+        raise RuntimeError(
+            f"catalog {catalog!r} is not Iceberg-backed; use "
+            "run_with_checkpoint (directory-partitioned parquet) instead"
+        )
+    buckets = sorted(r[0] for r in df.select(bucket_col).distinct().collect())
+    done = ledger_read(spark, ledger_dir)
+    skipped = [b for b in buckets if b in done]
+    pending = [b for b in buckets if b not in done]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+    if not pending:
+        return {"processed": [], "skipped": skipped, "rows": 0}
+
+    t0 = time.monotonic()
+    part = df.filter(F.col(bucket_col).isin(list(pending)))
+    if compute_fn is not None:
+        part = compute_fn(part)
+    writer = part.writeTo(table).partitionedBy(F.col(bucket_col))
+    if spark.catalog.tableExists(table):
+        part.writeTo(table).overwritePartitions()
+    else:
+        writer.create()
+    wall_ms = round((time.monotonic() - t0) * 1000, 1)
+    snap = last_snapshot_id(spark, table)
+
+    counts = {
+        r[0]: r[1]
+        for r in spark.read.table(table)
+        .filter(F.col(bucket_col).isin(list(pending)))
+        .groupBy(bucket_col)
+        .count()
+        .collect()
+    }
+    total_rows = 0
+    for b in pending:
+        n = int(counts.get(b, 0))
+        _ledger_commit(
+            ledger_dir,
+            {
+                "bucket": _json_bucket(b),
+                "n_rows": n,
+                "wall_ms": wall_ms,
+                "batch_id": batch_id,
+                "snapshot_id": snap,
+            },
+        )
+        total_rows += n
+    return {"processed": list(pending), "skipped": skipped, "rows": total_rows}

@@ -10,6 +10,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import partitioning as P
+
+_ICEBERG_CATALOG_CLASSES = (
+    "org.apache.iceberg.spark.SparkCatalog",
+    "org.apache.iceberg.spark.SparkSessionCatalog",
+)
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    """True when ``catalog`` is backed by an Iceberg catalog
+    implementation — the flag that switches the sink/resume paths from
+    directory-partitioned parquet (sandbox) to Iceberg tables with
+    snapshot-atomic commits (production)."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", "")
+    except Exception:
+        impl = ""
+    return impl in _ICEBERG_CATALOG_CLASSES
 
 
 def write_features(
@@ -30,6 +48,59 @@ def write_features(
         .partitionBy("day", "bucket")
         .parquet(path)
     )
+
+
+def feature_table_writer(
+    df: DataFrame,
+    table: str,
+    ts_col: str = "warc_ts",
+    entity_col: str = "url",
+    buckets: int = 16,
+):
+    """The Iceberg DataFrameWriterV2 for the SURVEY §4 layout —
+    ``PARTITIONED BY (days(ts), bucket(N, entity))`` with hidden
+    partitioning (no materialized day/bucket columns; Iceberg derives
+    them, and time-range/entity predicates prune at the scan). Returned
+    unexecuted so callers pick the commit verb and tests can build the
+    chain without a catalog."""
+    return df.writeTo(table).partitionedBy(
+        P.days(F.col(ts_col)), P.bucket(buckets, F.col(entity_col))
+    )
+
+
+def write_features_iceberg(
+    df: DataFrame,
+    table: str,
+    ts_col: str = "warc_ts",
+    entity_col: str = "url",
+    buckets: int = 16,
+    mode: str = "createOrReplace",
+) -> None:
+    """Iceberg variant of :func:`write_features`: snapshot-atomic commit
+    to ``table``. ``mode``: ``createOrReplace`` | ``append`` |
+    ``overwritePartitions`` (idempotent per-partition re-run — the verb
+    the checkpointed writer uses). Requires an Iceberg-backed catalog
+    (:func:`iceberg_available`); the parquet path is the sandbox twin
+    with identical downstream plans."""
+    w = feature_table_writer(df, table, ts_col, entity_col, buckets)
+    if mode == "createOrReplace":
+        w.createOrReplace()
+    elif mode == "append":
+        w.append()
+    elif mode == "overwritePartitions":
+        w.overwritePartitions()
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+
+def last_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    """Latest Iceberg snapshot id of ``table`` (the commit handle the
+    snapshot ledger records for lineage/rollback)."""
+    rows = spark.sql(
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).collect()
+    return int(rows[0][0]) if rows else None
 
 
 def read_features(
