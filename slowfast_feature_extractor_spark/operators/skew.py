@@ -154,6 +154,13 @@ def dual_rate_features_chunked(
     merged = base.withColumn("__carry", F.lit(0)).unionByName(
         carries.withColumn("__carry", F.lit(1))
     )
+    # pin the window's partition count (same AQE advisory-size pitfall
+    # as the carry fold above: a byte-tiny (entity, chunk) shuffle
+    # coalesces to a handful of partitions and serializes the window
+    # stage); explicit-count repartition is exempt and satisfies the
+    # window's clustering requirement
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    merged = merged.repartition(n_part, entity, "__chunk")
     w = Window.partitionBy(entity, "__chunk").orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
