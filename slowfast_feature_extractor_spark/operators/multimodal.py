@@ -6,13 +6,22 @@ are opaque ``binary`` columns with typed metadata; the decode/feature
 step runs as Arrow-batched ``mapInPandas`` so bytes cross the JVM↔Python
 boundary once per batch, never per row.
 
-The audio path is REAL end-to-end: :func:`decode_audio` parses WAV
-containers with the stdlib ``wave`` module (header + PCM frames, byte
-round-trip tested) and :func:`audio_meta` runs it Arrow-batched with an
-analytic DuckDB oracle (``multimodal_audio``). The image codecs are not
-installed in this container, so those decoders remain STUBS that raise
-``NotImplementedError``; their Spark-side plumbing (schema, batching,
-UDF signature, partitioning) is real and tested via
+Two media paths are REAL end-to-end with stdlib-only codecs:
+
+- audio: :func:`decode_audio` parses WAV containers with ``wave``
+  (header + PCM frames, byte round-trip tested); :func:`audio_meta`
+  runs it Arrow-batched with an analytic DuckDB oracle
+  (``multimodal_audio``);
+- image: :func:`decode_image` parses uncompressed 24-bit BMP with
+  ``struct`` (BGR order, bottom-up rows, 4-byte padding — pixel
+  round-trip tested), :func:`resize_nearest` is a real resize kernel,
+  and :func:`image_meta` chains decode → resize → channel sums with an
+  analytic oracle (``multimodal_image``).
+
+Compressed formats (PNG/JPEG/video) still need a production codec
+(PIL/cv2 — absent in this container): those raise
+``NotImplementedError`` while their Spark-side plumbing (schema,
+batching, UDF signature, partitioning) is exercised by
 :func:`media_meta`'s deterministic fake featurizer.
 """
 
@@ -30,12 +39,125 @@ META_SCHEMA = (
 )
 
 
-def decode_image(data: bytes):  # pragma: no cover - stub
-    """Real image decode (PIL/cv2) — unavailable in this container.
-    The production build plugs a codec in here; everything downstream
-    (batching, schema, partitioning) is already exercised by
-    media_meta/fake_feature."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(data: bytes):
+    """REAL image decode for uncompressed 24-bit BMP via stdlib
+    ``struct`` (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded
+    BGR rows) → dict(width, height, bpp, pixels HxWx3 uint8 RGB array).
+    The reference decodes frames with cv2
+    (reference/datasets/videoset.py:66-95); BMP is the one raster
+    container the standard library can parse end-to-end, so this path
+    is real and oracle-checked (``multimodal_image``). Compressed
+    formats (PNG/JPEG) still need a production codec and raise
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP is stdlib-decodable; plug a "
+            "codec (PIL/cv2) in for compressed formats"
+        )
+    offset = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    row_stride = (width * 3 + 3) & ~3
+    bottom_up = height > 0
+    h = abs(height)
+    px = np.zeros((h, width, 3), dtype=np.uint8)
+    for r in range(h):
+        src_row = (h - 1 - r) if bottom_up else r
+        start = offset + src_row * row_stride
+        row = np.frombuffer(data, dtype=np.uint8, count=width * 3, offset=start)
+        px[r] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+    return {"width": width, "height": h, "bpp": bpp, "pixels": px}
+
+
+def synth_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize ``pixel_fn(x, y) -> (r, g, b)`` into a real bottom-up
+    24-bit BMP blob (struct-packed headers, 4-byte-padded BGR rows) —
+    the deterministic generator behind the image fixtures and the
+    ``multimodal_image`` registry row."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    for y in reversed(range(height)):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_stride - len(row))
+        out += row
+    return bytes(out)
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize over a decoded HxWx3 array (pure
+    numpy index math — the reference's cv2.resize analog,
+    reference/datasets/videoset.py:91-95, with the deterministic
+    floor-index kernel so SQL oracles can reproduce it exactly):
+    out[i, j] = src[floor(i*h/out_h), floor(j*w/out_w)]."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def image_meta(
+    df: DataFrame,
+    media_col: str = "image",
+    id_col: str = "doc_id",
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL decode of a BMP binary column →
+    (doc_id, width, height, bpp, sum_r, sum_g, sum_b[, rs_sum_r,
+    rs_sum_g, rs_sum_b]): header metadata plus integer channel sums
+    (exact cross-engine hashes), optionally after a real
+    nearest-neighbor resize. Undecodable blobs yield null rows (P9)."""
+    import numpy as np
+
+    cols = ["width", "height", "bpp", "sum_r", "sum_g", "sum_b"]
+    if resize_to is not None:
+        cols += ["rs_sum_r", "rs_sum_g", "rs_sum_b"]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in ["doc_id", *cols]}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                rows["doc_id"].append(i)
+                try:
+                    d = decode_image(bytes(b))
+                except Exception:
+                    for c in cols:
+                        rows[c].append(None)
+                    continue
+                px = d["pixels"].astype(np.int64)
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+                rows["bpp"].append(d["bpp"])
+                for k, c in enumerate(("sum_r", "sum_g", "sum_b")):
+                    rows[c].append(int(px[:, :, k].sum()))
+                if resize_to is not None:
+                    rs = resize_nearest(d["pixels"], *resize_to).astype(np.int64)
+                    for k, c in enumerate(("rs_sum_r", "rs_sum_g", "rs_sum_b")):
+                        rows[c].append(int(rs[:, :, k].sum()))
+            yield pd.DataFrame(rows)
+
+    schema = "doc_id long, width int, height int, bpp int, " + ", ".join(
+        f"{c} long" for c in cols[3:]
+    )
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _batches, schema=schema
+    )
 
 
 def decode_audio(data: bytes) -> dict:
@@ -186,8 +308,10 @@ def frame_sample(
 
 
 def resize_stub(data: bytes, out_w: int, out_h: int):  # pragma: no cover - stub
-    """Real resize needs a codec (cv2.resize in the reference,
-    reference/datasets/videoset.py:91-95) — unavailable here."""
+    """Resize over COMPRESSED bytes needs a codec to decode first
+    (cv2.resize in the reference, reference/datasets/videoset.py:91-95).
+    For stdlib-decodable BMP the real path is
+    ``resize_nearest(decode_image(data)["pixels"], w, h)``."""
     raise NotImplementedError("image codec not available in this environment")
 
 

@@ -1668,6 +1668,76 @@ FROM p
 """
 
 
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + REAL resize (stdlib BMP codec +
+    nearest-neighbor kernel, operators/multimodal.py): per document a
+    24-bit BMP is synthesized from (doc_id, text length), round-tripped
+    through the actual BMP container, decoded, resized to 8×6, and
+    reduced to integer channel sums. The oracle recomputes everything
+    analytically — a header, BGR-order, row-padding, bottom-up, or
+    resize-index bug breaks the hash."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_bmp,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 4 + doc_id % 13, 4 + tlen % 11
+
+                def px(x, y, doc_id=doc_id):
+                    return (
+                        (doc_id * 7 + y * 31 + x * 13) % 256,
+                        (doc_id * 11 + y * 17 + x * 5) % 256,
+                        (doc_id * 3 + y * 7 + x * 19) % 256,
+                    )
+
+                out["doc_id"].append(doc_id)
+                out["image"].append(synth_bmp(w, h, px))
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_image_oracle() -> str:
+    chans = {
+        "r": "(doc_id * 7 + y * 31 + x * 13) % 256",
+        "g": "(doc_id * 11 + y * 17 + x * 5) % 256",
+        "b": "(doc_id * 3 + y * 7 + x * 19) % 256",
+    }
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        + expr.replace("x", "(t % w)").replace("y", "(t // w)")
+        + f")) AS BIGINT) AS sum_{c}"
+        for c, expr in chans.items()
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        + expr.replace("x", "(((t % 8) * w) // 8)").replace("y", "(((t // 8) * h) // 6)")
+        + f")) AS BIGINT) AS rs_sum_{c}"
+        for c, expr in chans.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 4 + (length(text) % 11) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(24 AS INT) AS bpp, {full}, {rs}
+FROM p
+"""
+
+
 def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL API surface (Catalyst plans SQL and DataFrame identically):
     TPC-H-Q1-shaped pricing summary with exact cents arithmetic."""
@@ -1871,6 +1941,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows

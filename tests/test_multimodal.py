@@ -116,3 +116,46 @@ def test_audio_meta_null_and_malformed(spark):
     assert rows[1]["duration_ms"] == 0  # 3 frames @ 8kHz -> 0 ms floor
     assert rows[2]["sample_rate"] is None
     assert rows[3]["sample_rate"] is None
+
+
+def test_decode_bmp_roundtrip_pixels_exact():
+    """decode_image parses real BMP containers pixel-exactly, including
+    BGR order, bottom-up rows, and 4-byte row padding (odd widths)."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_image,
+        synth_bmp,
+    )
+
+    for w, h in ((5, 3), (4, 4), (7, 2)):  # odd widths exercise padding
+        want = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                want[y, x] = ((x * 40 + y) % 256, (x + y * 50) % 256, (x * y + 7) % 256)
+        blob = synth_bmp(w, h, lambda x, y: tuple(int(v) for v in want[y, x]))
+        d = decode_image(blob)
+        assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+        np.testing.assert_array_equal(d["pixels"], want)
+
+
+def test_resize_nearest_kernel():
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import resize_nearest
+
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(src, 3, 2)  # (out_w=3, out_h=2)
+    assert out.shape == (2, 3, 3)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i, j], src[(i * 4) // 2, (j * 6) // 3])
+
+
+def test_decode_image_rejects_compressed():
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
