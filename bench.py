@@ -80,11 +80,11 @@ SYNTH_SPECS = {
     "pages": dict(n_urls=50_000, revisits=20),            # 1M rows, ~1GB html
     "events": dict(n_users=60_000, events_per_user=400),  # 24M rows
     "embeddings": dict(n=160_000, dim=64),                # ~3k block-pair GEMMs
-    # resized 400k -> 3.2M in r3: the int64-key minhash cut absolute
+    # resized 400k -> 1.6M in r3: the int64-key minhash cut absolute
     # wall ~3x, leaving smaller corpora overhead-bound at local[32]
     # (a ~4s wall is fixed job latency, which measures scheduler
     # overhead rather than throughput scaling)
-    "docs": dict(n_urls=3_200_000, revisits=1),           # 3.2M documents
+    "docs": dict(n_urls=1_600_000, revisits=1),           # 1.6M documents
 }
 
 
@@ -217,12 +217,18 @@ def scaling_workloads(spark, paths: dict[str, str]) -> dict[str, object]:
             sessionize(events, entity="user_id", ts="ts", gap_seconds=4500.0),
             entity="user_id", ts="ts", measure="value_cents",
         ),
-        "minhash_lsh_3m2": lambda: minhash_lsh_dedup(docs, threshold=0.5),
+        # near-dup regime (threshold 0.8) with scale-sane banding:
+        # 4-row bands keep the candidate set ~O(true near-dups); the
+        # r2/early-r3 2-row default admitted ~sim^2 of ALL pairs — 33.4M
+        # candidates at 3.2M docs, an O(n^2) blowup (see
+        # operators/dedup.lsh_params)
+        "minhash_lsh_1m6": lambda: minhash_lsh_dedup(
+            docs, threshold=0.8, num_hashes=16, bands=4),
         "embedding_neardup_160k": lambda: embedding_neardup_blocked(emb, threshold=0.8),
     }
 
 
-def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
+def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
     """Each workload repeated, best-of taken (isolates steady-state
     throughput from scheduler warmup)."""
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
@@ -339,7 +345,7 @@ def write_scaling_md(results: dict, levels, calib: dict[int, float]) -> dict:
         "",
         "Scaling suite: throughput-bound workloads over large synthetic",
         f"inputs (a {results[levels[0]]['n_pages']}-row / ~1 GB-html pages table,",
-        "a 24M-row events table, a 160k×64 embedding corpus, a 3.2M-doc",
+        "a 24M-row events table, a 160k×64 embedding corpus, a 1.6M-doc",
         "corpus — generated in-Spark, materialized to parquet once,",
         "identical files read at every level; fully materialized via the",
         "noop sink; fresh SparkSession per level; JVM warmup excluded;",

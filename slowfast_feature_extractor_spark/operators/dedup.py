@@ -116,13 +116,15 @@ def jaccard_pairs(
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     # exploded inverted-index sides are far larger than Catalyst's
-    # pre-explode size estimate — pin a shuffle join so AQE never tries
-    # to broadcast a multi-million-row build side (measured: 5x
-    # run-to-run variance when it does); shuffle_hash over sort-merge
-    # because equi-join on the shingle needs no order and skipping the
-    # two sorts is ~25% on the banding-shaped joins (measured)
+    # pre-explode size estimate — pin a MERGE join: it forbids AQE from
+    # broadcasting a multi-million-row build side (measured: 5x
+    # run-to-run variance when it does) AND it spills. shuffle_hash was
+    # ~25% faster here (skips two sorts) but its build map CANNOT
+    # spill: at 3.2M docs x local[4] the per-partition build side blew
+    # past task memory and the job died with SparkOutOfMemoryError —
+    # a hard scale ceiling sort-merge does not have (r3, measured).
     inter = (
-        a.hint("shuffle_hash").join(b, "shingle")
+        a.hint("merge").join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -173,6 +175,41 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def lsh_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_fp: float = 0.1,
+    max_hashes: int = 64,
+) -> tuple[int, int]:
+    """Pick (num_hashes, bands) for the MinHash-LSH S-curve
+    ``P(candidate | sim) = 1 - (1 - sim^rows)^bands``: recall at
+    ``threshold`` ≥ ``target_recall`` AND collision probability for a
+    half-threshold pair ≤ ``max_fp``. The fp budget is what matters at
+    corpus scale: 2-row bands admit ~sim² of ALL pairs as candidates —
+    measured 33.4M candidate pairs on a 3.2M-doc corpus vs 797 with
+    4-row bands — an O(n²)-shaped blowup that no join strategy survives
+    at 10^12 docs. Among admissible bandings, the fewest total hashes
+    (then lowest fp) wins."""
+    best = None
+    for rows in range(1, 13):
+        for bands in range(1, max_hashes + 1):
+            if rows * bands > max_hashes:
+                break
+            recall = 1 - (1 - threshold**rows) ** bands
+            fp = 1 - (1 - (threshold / 2) ** rows) ** bands
+            if recall < target_recall or fp > max_fp:
+                continue
+            key = (rows * bands, fp)
+            if best is None or key < best[:2]:
+                best = (rows * bands, fp, rows, bands)
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) within {max_hashes} hashes reaches recall "
+            f"{target_recall} with fp <= {max_fp} at threshold {threshold}"
+        )
+    return best[0], best[3]
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, num_hashes: int = 8, bands: int = 4, hash_fn: str = "md5"
 ) -> DataFrame:
@@ -202,10 +239,12 @@ def minhash_lsh_candidates(
         buckets = buckets.unionByName(p)
     a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
     b_ = buckets.select("band", "bucket", F.col("id").alias("id_b"))
-    # shuffle_hash: no broadcast of the misestimated banded table, no
-    # sort either (measured 1.65s -> 1.21s on the 1.6M-row self-join)
+    # merge join: no broadcast of the misestimated banded table, and a
+    # spillable build side — shuffle_hash was faster on mid-size corpora
+    # (1.65s -> 1.21s at 1.6M banded rows) but hard-OOMs once a
+    # partition's build map outgrows task memory (see jaccard_pairs)
     return (
-        a.hint("shuffle_hash").join(b_, ["band", "bucket"])
+        a.hint("merge").join(b_, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -229,14 +268,18 @@ def minhash_lsh_dedup(
     The shingle inverted index feeds BOTH the signature aggregation and
     the verification join; it is persisted so the expensive explode runs
     once (on a production deployment this is a materialized intermediate
-    table). DISK_ONLY on purpose: the deserialized heap cache holds tens
-    of millions of row objects and GC-thrashes wide executors (measured
-    42s vs 6s at 32 cores); serialized blocks ride the OS page cache
-    instead. The eager count prevents concurrent downstream stages from
-    racing to materialize it twice."""
+    table). MEMORY_AND_DISK serialized: the int64-keyed index compresses
+    to compact columnar batches (the r2 DISK_ONLY choice was tuned for
+    32-char hex rows, whose deserialized cache GC-thrashed wide
+    executors; with int64 rows the disk write itself became the
+    bottleneck — measured 204s persist vs 33s in-memory on a 56M-row
+    index — and memory pressure is ~100x lower), and it degrades to
+    disk blocks instead of failing when the index outgrows the cache.
+    The eager count prevents concurrent downstream stages from racing to
+    materialize it twice."""
     from pyspark import StorageLevel
 
-    sh = shingle_table(df, id_col, text_col, n, hash_fn).persist(StorageLevel.DISK_ONLY)
+    sh = shingle_table(df, id_col, text_col, n, hash_fn).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     aggs = [
         F.min(_salted_hash(F.col("shingle"), i, hash_fn)).alias(f"mh{i}")
@@ -264,13 +307,14 @@ def minhash_lsh_dedup(
         )
     else:
         # candidate-derived sides are too big to broadcast anywhere in
-        # the verification: pin shuffle-hash on BOTH joins (the second
-        # join's left side is cand × shingles — larger than cand itself)
+        # the verification: pin spillable merge joins on BOTH (the
+        # second join's left side is cand × shingles — larger than cand
+        # itself)
         a_shingles = (
-            sh.hint("shuffle_hash")
+            sh.hint("merge")
             .join(cand, sh["id"] == cand["id_a"])
             .select("id_a", "id_b", "shingle")
-            .hint("shuffle_hash")
+            .hint("merge")
         )
     inter = (
         a_shingles.join(
@@ -437,11 +481,11 @@ def simhash_pairs(
     a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     # banded tables are exploded n_bands× past Catalyst's size estimate —
-    # pin a shuffle-hash join so AQE never broadcasts a misestimated
-    # side (same guard as the inverted-index joins above, minus the
-    # needless sort)
+    # pin a merge join so AQE never broadcasts a misestimated side and
+    # the build side stays spillable (same guard as the inverted-index
+    # joins above)
     cand = (
-        a.hint("shuffle_hash").join(b, ["band", "bucket"])
+        a.hint("merge").join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()  # a pair may collide in several bands

@@ -128,8 +128,25 @@ def test_minhash_broadcast_guard_falls_back(docs):
     assert physical(guarded_df).count("BroadcastExchange") < physical(
         default_df
     ).count("BroadcastExchange")
-    assert physical(guarded_df).count("ShuffledHashJoin") > physical(
+    assert physical(guarded_df).count("SortMergeJoin") > physical(
         default_df
-    ).count("ShuffledHashJoin")
+    ).count("SortMergeJoin")  # spillable merge joins replace the broadcast
     guarded = {(r.id_a, r.id_b): r.jaccard for r in guarded_df.collect()}
     assert guarded == base
+
+
+def test_lsh_params_s_curve():
+    """lsh_params returns a banding whose S-curve meets the recall
+    target at the threshold and keeps low-sim collisions rare."""
+    nh, nb = DD.lsh_params(0.8, target_recall=0.9)
+    assert nh % nb == 0
+    rows = nh // nb
+    assert rows >= 3  # high thresholds must not get 1-2-row bands
+    recall = 1 - (1 - 0.8**rows) ** nb
+    assert recall >= 0.9
+    fp = 1 - (1 - 0.4**rows) ** nb
+    assert fp < 0.1
+    nh2, nb2 = DD.lsh_params(0.8, target_recall=0.9)
+    assert (nh2, nb2) == (nh, nb)  # deterministic
+    with pytest.raises(ValueError):
+        DD.lsh_params(0.99999, target_recall=0.999999, max_hashes=2)
