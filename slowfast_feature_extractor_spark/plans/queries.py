@@ -1738,6 +1738,61 @@ FROM p
 """
 
 
+def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 CSV manifest round-trip (the reference builds its work list
+    from a CSV of clip paths, reference/datasets/videoset.py:21-36 +
+    camera_assignments.csv): a manifest is WRITTEN as real CSV from the
+    documents table — including a field with embedded commas and quotes
+    that forces quoting/escaping — then READ BACK with
+    ``spark.read.csv`` and aggregated per shard. The oracle computes the
+    same aggregates from the source table directly, so any CSV
+    serialization or parse defect breaks the hash."""
+    import hashlib
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("s3://corpus/shard="), (F.col("doc_id") % 16).cast("string"),
+            F.lit("/doc-"), F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("path"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.concat(
+            F.lit("doc,"), F.col("doc_id").cast("string"), F.lit(',"note"')
+        ).alias("note"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    mdir = f"/tmp/sfe_manifest_{tag}"
+    d.coalesce(1).write.mode("overwrite").option("header", True).csv(mdir)
+    m = (
+        spark.read.schema("doc_id long, path string, n_chars long, note string")
+        .option("header", True)
+        .csv(mdir)
+    )
+    return (
+        m.withColumn(
+            "shard", F.regexp_extract("path", r"shard=(\d+)", 1).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum(F.length("note")).alias("note_chars"),
+        )
+    )
+
+
+ORACLE_MANIFEST_SCAN = """
+SELECT CAST(doc_id % 16 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc,
+       CAST(sum(length(concat('doc,', CAST(doc_id AS VARCHAR), ',"note"')))
+            AS BIGINT) AS note_chars
+FROM documents GROUP BY doc_id % 16
+"""
+
+
 def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL API surface (Catalyst plans SQL and DataFrame identically):
     TPC-H-Q1-shaped pricing summary with exact cents arithmetic."""
@@ -1942,6 +1997,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
+    "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows
