@@ -108,6 +108,89 @@ def chunk_prefix_counts(base: DataFrame, entity: str) -> DataFrame:
     )
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    entity: str = "url",
+    ts: str = "warc_ts",
+    gap_seconds: float = 30 * 24 * 3600.0,
+    session_col: str = "session_id",
+    index_col: str = "session_idx",
+    tiebreak: str | None = None,
+    chunk: Column | None = None,
+) -> DataFrame:
+    """Skew-robust gap sessionizer — value-exact vs
+    ``operators.sessionize.sessionize`` (parity-tested).
+
+    The plain sessionizer's lag+cumsum runs one entity in one task; a
+    hot url serializes. Here gap detection runs per (entity, time-chunk)
+    seeded with a ONE-row carry (the entity's last row before the
+    chunk), so the first row of every chunk sees its true global
+    predecessor; the 1-based session index is then
+    ``(# session starts in earlier chunks) + (local running count)``,
+    where the per-chunk start counts come from a tiny
+    (entity, chunk, starts) relation cumsum'd per entity — a session
+    spanning a chunk boundary contributes no start in the later chunk,
+    so the index carries over exactly. ``chunk`` must be monotone in
+    ``ts`` per entity (default ``to_date(ts)``)."""
+    from slowfast_feature_extractor_spark.functions.timeutil import epoch_us
+
+    gap_us = int(round(gap_seconds * 1_000_000))
+    chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
+    order_cols = [ts] + ([tiebreak] if tiebreak else [])
+
+    cols = list(df.columns)
+    base = df.withColumn("__chunk", chunk_expr)
+    carries = chunk_carries(base, entity, order_cols, slow_rows=1)
+
+    merged = base.withColumn("__carry", F.lit(0)).unionByName(
+        carries.withColumn("__carry", F.lit(1))
+    )
+    # pin the window's partition count (AQE advisory-size coalescing
+    # collapses byte-tiny (entity, chunk) shuffles — see the chunked
+    # window operators above)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    merged = merged.repartition(n_part, entity, "__chunk")
+
+    w = Window.partitionBy(entity, "__chunk").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    prev = F.lag(F.col(ts)).over(w)
+    is_new = F.when(
+        (F.col("__carry") == 0)
+        & (prev.isNull() | ((epoch_us(F.col(ts)) - epoch_us(prev)) > F.lit(gap_us))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = merged.withColumn("__local_idx", F.sum(is_new).over(run)).filter(
+        F.col("__carry") == 0
+    )
+
+    starts = local.groupBy(entity, "__chunk").agg(
+        F.max("__local_idx").alias("__starts")
+    )
+    w_chunks = (
+        Window.partitionBy(entity)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = starts.select(
+        entity,
+        "__chunk",
+        F.coalesce(F.sum("__starts").over(w_chunks), F.lit(0)).alias("__prefix"),
+    )
+    out = (
+        local.join(prefix, [entity, "__chunk"], "left")
+        .withColumn(
+            index_col, F.coalesce(F.col("__prefix"), F.lit(0)) + F.col("__local_idx")
+        )
+        .withColumn(
+            session_col,
+            F.concat_ws("#", F.col(entity).cast("string"), F.col(index_col)),
+        )
+    )
+    return out.select(*cols, index_col, session_col)
+
+
 def dual_rate_features_chunked(
     df: DataFrame,
     entity: str = "url",

@@ -390,6 +390,20 @@ FROM s
 """
 
 
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 with the hot-entity skew path: gap sessionization per
+    (user, month-chunk) with a one-row carry + per-chunk session-start
+    prefix (operators/skew.sessionize_chunked) — value-exact vs the
+    plain sessionizer, same oracle."""
+    from slowfast_feature_extractor_spark.operators.skew import sessionize_chunked
+
+    out = sessionize_chunked(
+        _ev(spark, sf_dir), entity="user_id", ts="ts", gap_seconds=1800.0,
+        tiebreak="event_id", chunk=F.date_trunc("month", F.col("ts")),
+    )
+    return out.select("user_id", "ts", "event_id", "session_idx", "session_id")
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8+A9: per-session aggregates with the ordered event-type concat
     (the reference's sorted segment assembly)."""
@@ -1998,6 +2012,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
+    "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows

@@ -163,3 +163,54 @@ def test_chunked_asof_equals_unchunked(spark, exact):
     cross_day = [r for r in rows(F.to_date(F.col("ts")))
                  if r[3] != "None" and r[3][:10] != r[1][:10]]
     assert cross_day, "fixture has no cross-chunk matches; chunk test vacuous"
+
+
+@pytest.mark.parametrize("chunk_expr", [None, "month"])
+def test_sessionize_chunked_exact_parity(spark, chunk_expr):
+    """sessionize_chunked == sessionize on every row, any chunking —
+    including sessions that span chunk boundaries."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.sessionize import sessionize
+    from slowfast_feature_extractor_spark.operators.skew import sessionize_chunked
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chunk = None if chunk_expr is None else F.date_trunc(chunk_expr, F.col("ts"))
+    plain = sessionize(ev, entity="user_id", ts="ts", gap_seconds=1800.0,
+                       tiebreak="event_id")
+    chunked = sessionize_chunked(ev, entity="user_id", ts="ts", gap_seconds=1800.0,
+                                 tiebreak="event_id", chunk=chunk)
+    a = {(r["user_id"], r["event_id"]): (r["session_idx"], r["session_id"])
+         for r in plain.collect()}
+    b = {(r["user_id"], r["event_id"]): (r["session_idx"], r["session_id"])
+         for r in chunked.collect()}
+    assert a == b
+    assert set(chunked.columns) == set(plain.columns)
+
+
+def test_sessionize_chunked_boundary_session():
+    """Crafted case: one session straddles a day-chunk boundary (gap
+    below threshold across midnight) — the index must NOT restart."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.sessionize import sessionize
+    from slowfast_feature_extractor_spark.operators.skew import sessionize_chunked
+    from slowfast_feature_extractor_spark.session import get_spark
+
+    spark = get_spark(cpus=4, shuffle_partitions=8)
+    rows = [
+        ("u1", "2024-01-01 23:50:00", 1),
+        ("u1", "2024-01-02 00:05:00", 2),  # 15 min gap, crosses midnight
+        ("u1", "2024-01-02 09:00:00", 3),  # new session (gap > 30 min)
+        ("u2", "2024-01-01 10:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    plain = {r["event_id"]: r["session_idx"] for r in sessionize(
+        df, entity="user_id", ts="ts", gap_seconds=1800.0, tiebreak="event_id").collect()}
+    chunked = {r["event_id"]: r["session_idx"] for r in sessionize_chunked(
+        df, entity="user_id", ts="ts", gap_seconds=1800.0, tiebreak="event_id").collect()}
+    assert plain == chunked
+    assert chunked[1] == chunked[2] == 1  # midnight-straddling session intact
+    assert chunked[3] == 2
