@@ -314,6 +314,92 @@ def pit_dual_rate_events(
     return pit_dual_rate_from(ev, fast_rows, slow_rows, session_gap_s)
 
 
+def pit_dual_rate_chunked_from(
+    ev: DataFrame,
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    session_gap_s: float = 1800.0,
+    chunk_trunc: str = "month",
+) -> DataFrame:
+    """Fully skew-robust composition of the flagship events query: every
+    entity-sequential stage runs per (user, time-chunk) with a carry —
+    gap sessionization (``skew.sessionize_chunked``), both dual-rate
+    window families (``skew.dual_rate_features_chunked``), and the as-of
+    fusion (``asof_join(chunk=)``). Value-EXACT vs
+    :func:`pit_dual_rate_from` (each stage is parity-tested and the
+    composition is driver-checked against the SAME oracle), so a
+    million-event user parallelizes across its chunks at every stage
+    instead of serializing the pipeline through one task."""
+    from pyspark.sql import functions as _F
+
+    from slowfast_feature_extractor_spark.operators.skew import (
+        dual_rate_features_chunked,
+        sessionize_chunked,
+    )
+
+    chunk = _F.date_trunc(chunk_trunc, _F.col("ts"))
+    ev = sessionize_chunked(
+        ev, entity="user_id", ts="ts", gap_seconds=session_gap_s,
+        tiebreak="event_id", chunk=chunk,
+    )
+
+    feats = dual_rate_features_chunked(
+        ev, entity="user_id", ts="ts", measure="value_cents",
+        fast_rows=fast_rows, slow_rows=slow_rows, strict=True,
+        tiebreak="event_id", chunk=chunk,
+    ).select(
+        "user_id", "ts", "event_id",
+        "fast_avg", "fast_cnt", "slow_avg", "slow_cnt",
+    )
+
+    views = ev.filter(F.col("event_type") == "view")
+    view_feats = dual_rate_features_chunked(
+        views, entity="user_id", ts="ts", measure="value_cents",
+        fast_rows=1, slow_rows=slow_rows, strict=True,
+        tiebreak="event_id", chunk=chunk,
+        prefix_slow="slow_view",
+    ).select(
+        "user_id", "ts",
+        F.col("slow_view_avg"), F.col("slow_view_cnt"),
+    )
+
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "session_idx")
+        .join(feats, ["user_id", "ts", "event_id"])
+        .select(
+            "user_id", "ts", "event_id", "session_idx",
+            F.round("fast_avg", 6).alias("fast_avg"),
+            F.col("fast_cnt"),
+            F.round("slow_avg", 6).alias("slow_avg"),
+            F.col("slow_cnt"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        view_feats,
+        on="ts",
+        by=("user_id",),
+        right_cols=["slow_view_avg", "slow_view_cnt"],
+        allow_exact_matches=True,
+        matched_ts_col="view_ts",
+        chunk=_F.date_trunc(chunk_trunc, _F.col("ts")),
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "session_idx",
+        "fast_avg",
+        "fast_cnt",
+        "slow_avg",
+        "slow_cnt",
+        "view_ts",
+        F.round("slow_view_avg", 6).alias("slow_view_avg"),
+        "slow_view_cnt",
+    )
+
+
 def pit_dual_rate_from(
     ev: DataFrame,
     fast_rows: int = 8,

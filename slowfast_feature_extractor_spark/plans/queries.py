@@ -72,6 +72,18 @@ def q_pit_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit_dual_rate_events(spark, sf_dir)
 
 
+def q_pit_dual_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events flagship with EVERY entity-sequential stage on the
+    skew path — chunked sessionize + chunked dual-rate windows + chunked
+    as-of carry (plans/featurize.pit_dual_rate_chunked_from). Same
+    oracle as pit_dual_rate: the composition is value-exact."""
+    from slowfast_feature_extractor_spark.plans.featurize import (
+        pit_dual_rate_chunked_from,
+    )
+
+    return pit_dual_rate_chunked_from(_ev(spark, sf_dir))
+
+
 ORACLE_PIT_DUAL_RATE = f"""
 WITH ev AS ({_EV_CENTS_SQL}),
 sess AS (
@@ -2013,6 +2025,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
     "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
+    "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows

@@ -214,3 +214,25 @@ def test_sessionize_chunked_boundary_session():
     assert plain == chunked
     assert chunked[1] == chunked[2] == 1  # midnight-straddling session intact
     assert chunked[3] == 2
+
+
+def test_pit_flagship_fully_chunked_parity(spark):
+    """The composed skew-path flagship (chunked sessionize + chunked
+    dual-rate windows + chunked as-of) equals the plain pipeline
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.plans.featurize import (
+        pit_dual_rate_chunked_from,
+        pit_dual_rate_from,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    key = ["user_id", "ts", "event_id"]
+    a = pit_dual_rate_from(ev).sort(*key).collect()
+    b = pit_dual_rate_chunked_from(ev).sort(*key).collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict(), (ra, rb)
