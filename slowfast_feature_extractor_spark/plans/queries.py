@@ -2026,6 +2026,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
     "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
     "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
+    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
+    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     # rows below run FIRST after the flagships: the driver caps its
     # per-round correctness sweep at 50 rows, and dict order decides who
     # is in it — never-yet-confirmed and newest rows go up front, rows
@@ -2071,8 +2073,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
-    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
-    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
     "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
     "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
