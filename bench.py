@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",
+    "manifest_scan",
+    "sessionize_chunked",
+    "pit_dual_rate_chunked",
 ]
 # dedup_clusters is registry-checked but not timed here: at fixture
 # scale (59 pairs) the convergence loop measures scheduler overhead,
