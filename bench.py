@@ -123,7 +123,7 @@ def _pages_parquet(spark, cache: str = PAGES_CACHE, knobs: dict | None = None) -
     return cache
 
 
-def run_suite(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
+def run_suite(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
     spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus)
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
