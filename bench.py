@@ -136,6 +136,10 @@ def run_suite(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         # report the steady-state throughput a 100-TB deployment sees
         best = float("inf")
         for i in range(max(repeats, 4)):
+            # pay the full pipeline every repeat: operators that persist
+            # intermediates would otherwise serve later repeats from the
+            # previous run's cache (same integrity rule as --scaling)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _materialize(thunk())
             dt = time.perf_counter() - t0

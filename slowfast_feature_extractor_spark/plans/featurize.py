@@ -342,6 +342,13 @@ def pit_dual_rate_chunked_from(
         ev, entity="user_id", ts="ts", gap_seconds=session_gap_s,
         tiebreak="event_id", chunk=chunk,
     )
+    # three branches (feature windows, view windows, click projection)
+    # read the sessionized stream; persist it so the chunked
+    # sessionizer's carry fold runs once, not per branch (columnar
+    # batches, spills past memory)
+    from pyspark import StorageLevel
+
+    ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
 
     feats = dual_rate_features_chunked(
         ev, entity="user_id", ts="ts", measure="value_cents",
