@@ -1773,7 +1773,7 @@ def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.csv`` and aggregated per shard. The oracle computes the
     same aggregates from the source table directly, so any CSV
     serialization or parse defect breaks the hash."""
-    import hashlib
+    import tempfile
 
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1786,8 +1786,11 @@ def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("doc,"), F.col("doc_id").cast("string"), F.lit(',"note"')
         ).alias("note"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    mdir = f"/tmp/sfe_manifest_{tag}"
+    # per-process unique dir: a world-shared fixed path raced between
+    # concurrent runs over the same sf_dir (one overwrites mid-read of
+    # the other, corrupting the hash) and failed outright when a
+    # pre-existing directory belonged to another user (ADVICE r3)
+    mdir = tempfile.mkdtemp(prefix="sfe_manifest_")
     d.coalesce(1).write.mode("overwrite").option("header", True).csv(mdir)
     m = (
         spark.read.schema("doc_id long, path string, n_chars long, note string")

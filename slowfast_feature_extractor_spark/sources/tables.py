@@ -86,7 +86,12 @@ def _estimated_splits(files: list[str], conf) -> int | None:
 
 def _bytes_conf(conf, key: str, default: int) -> int:
     raw = str(conf.get(key, str(default))).strip().lower()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "b": 1}
+    # Spark accepts '128m' and '128mb' alike (JavaUtils.byteStringAs);
+    # drop a trailing 'b' after another unit letter so both parse here
+    # instead of falling back to the eager partition probe (ADVICE r3).
+    if len(raw) >= 2 and raw[-1] == "b" and raw[-2] in units and raw[-2] != "b":
+        raw = raw[:-1]
     if raw and raw[-1] in units:
         return int(float(raw[:-1]) * units[raw[-1]])
     return int(raw)

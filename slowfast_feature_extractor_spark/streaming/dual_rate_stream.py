@@ -61,7 +61,14 @@ def make_dual_rate_fn(
             # without this an entity fed only lag-window late rows keeps
             # its state forever (ADVICE r2).
             if state.exists:
-                state.setTimeoutTimestamp(max(hist_ts) // 1000 + 3_600_000)
+                timeout_ms = max(hist_ts) // 1000 + 3_600_000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    # watermark already past the eviction point: the engine
+                    # rejects below-watermark timeouts — evict now
+                    # (timeout would only remove() anyway; ADVICE r3).
+                    state.remove()
+                else:
+                    state.setTimeoutTimestamp(timeout_ms)
             return
         rows = rows.sort_values(ts)
         out = {c: [] for c in (ts, "fast_avg", "fast_cnt", "slow_avg", "slow_cnt", "n_hist_rows")}

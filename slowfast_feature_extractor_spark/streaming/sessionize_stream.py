@@ -76,8 +76,17 @@ def make_sessionize_fn(entity: str, ts: str, measure: str, gap_us: int, late_cou
             # state or the open session would never staleness-flush
             # (ADVICE r2: bounded-state guarantee broke on this path).
             if state.exists:
-                _, end_us, _, _ = state.get
-                state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+                start_us, end_us, n, s = state.get
+                timeout_ms = (end_us + gap_us) // 1000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    # the watermark already passed the flush point: the
+                    # engine rejects a below-watermark timeout
+                    # (PySparkValueError), and the timeout's own semantics
+                    # say this session is due — flush it now (ADVICE r3).
+                    state.remove()
+                    yield _emit(k, start_us, end_us, n, s)
+                else:
+                    state.setTimeoutTimestamp(timeout_ms)
             return
         rows = rows.sort_values(ts)
         cur = list(state.get) if state.exists else None

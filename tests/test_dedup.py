@@ -39,7 +39,7 @@ def test_jaccard_pairs(docs):
 
 def test_minhash_lsh_finds_near_dups(docs):
     out = {(r.id_a, r.id_b): r.jaccard for r in
-           DD.minhash_lsh_dedup(docs, threshold=0.3).collect()}
+           DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3).collect()}
     assert out[(1, 2)] == 1.0  # exact dup always collides in every band
     # candidates never include shingle-less docs
     assert not any(5 in p for p in out)
@@ -103,7 +103,7 @@ def test_minhash_xx64_mode_exact_subset(docs):
     exact = {(r.id_a, r.id_b): r.jaccard for r in
              DD.jaccard_pairs(docs, threshold=0.3).collect()}
     xx = {(r.id_a, r.id_b): r.jaccard for r in
-          DD.minhash_lsh_dedup(docs, threshold=0.3, hash_fn="xx64").collect()}
+          DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3, hash_fn="xx64").collect()}
     assert xx  # bands collide for the planted dups
     for pair, j in xx.items():
         assert exact[pair] == j
@@ -116,12 +116,12 @@ def test_minhash_broadcast_guard_falls_back(docs):
     the candidate set (VERDICT r2 item 4: unguarded F.broadcast(cand)
     overflows on a duplicate-riddled corpus)."""
     base = {(r.id_a, r.id_b): r.jaccard for r in
-            DD.minhash_lsh_dedup(docs, threshold=0.3).collect()}
+            DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3).collect()}
     def physical(df):
         return df._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
 
-    default_df = DD.minhash_lsh_dedup(docs, threshold=0.3)
-    guarded_df = DD.minhash_lsh_dedup(docs, threshold=0.3, broadcast_limit=0)
+    default_df = DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3)
+    guarded_df = DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3, broadcast_limit=0)
     # the explicit candidate broadcast is gone (Catalyst may still
     # broadcast the stats-known tiny corpus-side aggregates on this
     # fixture; those are its call, not the guarded hint)
@@ -150,3 +150,31 @@ def test_lsh_params_s_curve():
     assert (nh2, nb2) == (nh, nb)  # deterministic
     with pytest.raises(ValueError):
         DD.lsh_params(0.99999, target_recall=0.999999, max_hashes=2)
+
+
+def test_lsh_params_threshold_half():
+    """threshold=0.5 — infeasible under r3's 64-hash cap — now returns a
+    valid S-curve banding within the 512-hash default (VERDICT r3 #8)."""
+    nh, nb = DD.lsh_params(0.5)
+    rows = nh // nb
+    assert nh % nb == 0 and nh <= 512 and rows >= 3
+    assert 1 - (1 - 0.5**rows) ** nb >= 0.9  # recall at threshold
+    assert 1 - (1 - 0.25**rows) ** nb <= 0.1  # fp at half threshold
+    with pytest.raises(ValueError):  # very low thresholds stay infeasible
+        DD.lsh_params(0.3)
+
+
+def test_minhash_default_banding_derived(docs):
+    """With no explicit banding, minhash_lsh_dedup derives
+    (num_hashes, bands) from lsh_params(threshold) — the blowup-prone
+    fixed 2-row-band default is gone (ADVICE r3). Results are still
+    exact-verified pairs, so they form a subset of all-pairs Jaccard."""
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.jaccard_pairs(docs, threshold=0.5).collect()}
+    derived = {(r.id_a, r.id_b): r.jaccard for r in
+               DD.minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 2) in derived  # exact dup collides in every band
+    for pair, j in derived.items():
+        assert exact[pair] == j
+    with pytest.raises(ValueError):  # half-specified banding is an error
+        DD.minhash_lsh_dedup(docs, num_hashes=8, threshold=0.5)

@@ -180,6 +180,14 @@ class _FakeState:
         self._stored, self.removed = None, True
 
     def setTimeoutTimestamp(self, ms):
+        # faithful to GroupState: the engine raises when the requested
+        # timeout is not in the future of the current watermark
+        # (pyspark.sql.streaming.state.GroupState.setTimeoutTimestamp).
+        if ms <= self._wm:
+            raise ValueError(
+                f"Timeout timestamp ({ms}) cannot be earlier than the "
+                f"current watermark ({self._wm})"
+            )
         self.timeout_set = ms
 
     def getCurrentWatermarkMs(self):
@@ -205,7 +213,30 @@ def _late_only_batch(entity, ts, measure, ts_us):
 def test_all_late_batch_rearms_sessionize_timeout():
     """ADVICE r2: a batch whose rows are ALL lag-window late must re-arm
     the pending event-time timeout from stored state, or the open
-    session never staleness-flushes."""
+    session never staleness-flushes. The re-arm must stay ABOVE the
+    watermark (the engine rejects below-watermark timeouts)."""
+    from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
+        make_sessionize_fn,
+    )
+
+    gap_us = int(GAP * 1_000_000)
+    fn = make_sessionize_fn("user_id", "ts", "value", gap_us)
+    start_us, end_us = 1_000_000_000, 2_000_000_000
+    timeout_ms = (end_us + gap_us) // 1000
+    state = _FakeState(
+        stored=(start_us, end_us, 3, 9.0),
+        watermark_ms=timeout_ms - 1,  # flush point still ahead of watermark
+    )
+    out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
+    assert out == []  # nothing emitted, nothing merged
+    assert state.get == (start_us, end_us, 3, 9.0)  # state untouched
+    assert state.timeout_set == timeout_ms  # re-armed
+
+
+def test_all_late_batch_flushes_when_watermark_passed_sessionize():
+    """ADVICE r3: when the watermark has already passed the flush point,
+    re-arming would raise in the real engine (below-watermark timeout) —
+    the session is due, so it must flush immediately instead."""
     from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
         make_sessionize_fn,
     )
@@ -215,12 +246,13 @@ def test_all_late_batch_rearms_sessionize_timeout():
     start_us, end_us = 1_000_000_000, 2_000_000_000
     state = _FakeState(
         stored=(start_us, end_us, 3, 9.0),
-        watermark_ms=10_000_000,  # 10_000s — far past the late row below
+        watermark_ms=10_000_000,  # 10_000s — far past end + gap (3_800s)
     )
     out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
-    assert out == []  # nothing emitted, nothing merged
-    assert state.get == (start_us, end_us, 3, 9.0)  # state untouched
-    assert state.timeout_set == (end_us + gap_us) // 1000  # re-armed
+    assert len(out) == 1  # the due session flushed
+    assert out[0]["n_revisits"].iloc[0] == 3
+    assert state.removed and not state.exists
+    assert state.timeout_set is None  # no below-watermark re-arm attempted
 
 
 def test_all_late_batch_rearms_dual_rate_timeout():
@@ -230,10 +262,30 @@ def test_all_late_batch_rearms_dual_rate_timeout():
 
     fn = make_dual_rate_fn("user_id", "ts", "value", 2, 4)
     hist_ts = [1_000_000_000, 2_000_000_000]
+    timeout_ms = max(hist_ts) // 1000 + 3_600_000
     state = _FakeState(
         stored=(hist_ts, [1.0, 2.0], 2),
-        watermark_ms=10_000_000,
+        watermark_ms=timeout_ms - 1,  # eviction point still ahead
     )
     out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
     assert out == []
-    assert state.timeout_set == max(hist_ts) // 1000 + 3_600_000
+    assert state.timeout_set == timeout_ms
+
+
+def test_all_late_batch_evicts_when_watermark_passed_dual_rate():
+    """ADVICE r3: eviction-due state is removed instead of re-armed
+    below the watermark (which would raise in the real engine)."""
+    from slowfast_feature_extractor_spark.streaming.dual_rate_stream import (
+        make_dual_rate_fn,
+    )
+
+    fn = make_dual_rate_fn("user_id", "ts", "value", 2, 4)
+    hist_ts = [1_000_000_000, 2_000_000_000]
+    state = _FakeState(
+        stored=(hist_ts, [1.0, 2.0], 2),
+        watermark_ms=10_000_000,  # past max(hist)+1h (5_600s)
+    )
+    out = list(fn(("u1",), _late_only_batch("user_id", "ts", "value", 5_000_000), state))
+    assert out == []
+    assert state.removed and not state.exists
+    assert state.timeout_set is None
