@@ -93,6 +93,36 @@ def test_blocked_neardup_no_planning_job(spark, tmp_path):
     assert out.schema.simpleString() == "struct<id_a:bigint,id_b:bigint,sim:double>"
 
 
+def test_blocked_lsh_bucket_local_block_counts(spark):
+    """VERDICT r3 #1: with bits set, the block count is derived PER
+    sign bucket from its own size (rows_per_block), not a global B.
+    Skewed buckets — one big (multi-block), one tiny (single-block) —
+    must still produce exactly the same-bucket pair-join relation."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(80):  # big bucket: first dim >= 0
+        v = rng.normal(size=8); v[0] = abs(v[0])
+        rows.append((vid, v.astype("float32")))
+    for vid in range(80, 86):  # tiny bucket: first dim < 0
+        v = rng.normal(size=8); v[0] = -abs(v[0])
+        rows.append((vid, v.astype("float32")))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<float>",
+    )
+    # rows_per_block=16 -> big bucket spans ceil(80/16)=5 blocks, tiny 1
+    got = {(r.id_a, r.id_b): r.sim for r in
+           SIM.embedding_neardup_blocked(
+               df, threshold=-1.1, bits=1, rows_per_block=16).collect()}
+    want = {(r.id_a, r.id_b): r.sim for r in
+            SIM.embedding_neardup(df, threshold=-1.1, bits=1).collect()}
+    assert got == want
+    assert len(got) == 80 * 79 // 2 + 6 * 5 // 2  # same-bucket pairs only
+
+
 def test_sign_lsh_recall_on_planted_neardups(spark):
     """The bits= sign-LSH path targets the HIGH-threshold near-dup
     regime: on planted near-duplicates (cos >= ~0.99 pairs) recall vs
