@@ -25,6 +25,25 @@ def test_resample_semantics():
     assert down[0] == 0.0 and down[-1] == 9.0  # endpoints preserved
 
 
+def test_resample_batch_bit_exact_vs_per_row():
+    """The vectorized length-grouped batch resample must be
+    BIT-identical to per-row np.interp (the DuckDB oracle replicates
+    np.interp exactly, so any ULP drift breaks the hash gate)."""
+    from slowfast_feature_extractor_spark.functions.vector import resample_batch_np
+
+    rng = np.random.default_rng(42)
+    arrs = [None]
+    for _ in range(5000):
+        L = int(rng.integers(0, 66))
+        arrs.append(rng.integers(1, 100_000, size=L).astype(np.float64))
+    for k in (8, 32):
+        batch = resample_batch_np(arrs, k)
+        assert batch[0] is None  # null passthrough
+        for i, a in enumerate(arrs[1:], start=1):
+            ref = resample_to_k_np(a, k)
+            assert np.array_equal(np.asarray(batch[i]), ref), (i, len(a), k)
+
+
 def test_resample_udf_matches_numpy(spark):
     rows = [(1, [1.0, 5.0, 2.0]), (2, []), (3, None), (4, [3.0])]
     df = spark.createDataFrame(rows, schema="id long, v array<double>")
