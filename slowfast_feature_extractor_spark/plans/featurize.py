@@ -39,6 +39,30 @@ from slowfast_feature_extractor_spark.operators.windows import dual_rate_feature
 _CHUNK_TRUNCS = ("day", "week", "month", "year")
 
 
+def auto_chunk_decision(
+    df: DataFrame, entity: str = "url", threshold: int = 50_000
+) -> str | None:
+    """Count-based chooser between the plain and chunked temporal plans
+    (VERDICT r3 #6): ``"day"`` when the hottest entity holds at least
+    ``threshold`` rows (one task would otherwise serialize its whole
+    history — the regime where chunking bought 2.1×/4× in BENCH/SKEW.md),
+    else ``None`` (the plain plan is ~2.7× cheaper on uniform corpora —
+    carry overhead buys nothing when every entity fits a task).
+
+    Cost: one column-pruned count aggregation over ``entity`` (a
+    map-side-combined groupBy of the single key column). At production
+    scale prefer passing ``chunk_trunc`` explicitly or wiring table
+    statistics; this sketch is the automatic default."""
+    hot = (
+        df.select(entity)
+        .groupBy(entity)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c"))
+        .first()[0]
+    )
+    return "day" if hot is not None and hot >= threshold else None
+
+
 def salted_buckets(
     df: DataFrame, key: str = "url", buckets: int = 32, salt: int = 0, col: str = "bucket"
 ) -> DataFrame:
@@ -57,7 +81,8 @@ def featurize_pages(
     fast_len: int = 32,
     slow_len: int = 8,
     tiebreak: str | None = None,
-    chunk_trunc: str | None = None,
+    chunk_trunc: str | None = "auto",
+    auto_chunk_threshold: int = 50_000,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → features(url, warc_ts,
     slow_vec, fast_vec, fused_vec, n_hist_rows, max_input_ts).
@@ -84,7 +109,10 @@ def featurize_pages(
       ``tiebreak`` (a column name) to make every window frame
       well-defined under duplicate timestamps;
     - skew: ``chunk_trunc`` (``"day" | "week" | "month" | "year"``)
-      switches the temporal stage to range-partition-with-carry
+      switches the temporal stage to range-partition-with-carry;
+      the ``"auto"`` default picks via :func:`auto_chunk_decision`
+      (chunked iff some entity holds ≥ ``auto_chunk_threshold`` rows),
+      ``None`` forces the plain plan
       (operators/skew.py) so a million-revisit url parallelizes across
       its time chunks instead of serializing through one task — the
       reference's one-video-one-unit assumption is exactly what breaks
@@ -113,6 +141,8 @@ def featurize_pages(
     # (reference/just_test_v1.py:544-583). Chunked path: the same family
     # over (url, time-chunk) partitions with a ≤ slow_rows-row carry.
     order = ["warc_ts"] + ([tiebreak] if tiebreak else [])
+    if chunk_trunc == "auto":
+        chunk_trunc = auto_chunk_decision(pages, "url", auto_chunk_threshold)
     if chunk_trunc is not None:
         windowed = _windowed_chunked(df, order, fast_rows, slow_rows, chunk_trunc)
     else:

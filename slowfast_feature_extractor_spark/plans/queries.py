@@ -1764,6 +1764,182 @@ FROM p
 """
 
 
+def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver-checkable: the STREAMING sessionizer
+    (streaming/sessionize_stream.py, applyInPandasWithState + event-time
+    timeouts) run to completion with an ``availableNow`` trigger into
+    parquet, then hashed against a batch DuckDB oracle — closing the one
+    operator family that previously had only pytest parity (VERDICT r3
+    #5).
+
+    Replay shape: the events table is staged as file 1 of a file-stream
+    source; file 2 holds one far-future sentinel event per user
+    (max_ts + gap + margin), which data-closes every user's final open
+    session so the emitted closed-session stream equals the batch
+    sessionization of the real events. The sentinel sessions themselves
+    stay open at end-of-input and are never emitted, and the watermark
+    (max_ts_sentinel − 1s) never reaches sentinel_end + gap, so no
+    timeout fires for them either. Integer cents measures keep the sums
+    order-insensitive (exact parity with SQL aggregation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
+        streaming_sessionize,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value_cents").cast("double").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="sfe_stream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    def _stage(df, name: str) -> None:
+        tmp = os.path.join(base, f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    max_ts = ev.agg(F.max("ts")).first()[0]  # driver scalar (metadata-scale)
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("value", F.lit(0.0))
+    )
+    _stage(ev, "00-events")
+    _stage(sentinel, "01-sentinel")
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessionize(
+        stream, entity="user_id", ts="ts", measure="value",
+        gap_seconds=1800.0, watermark="1 second",
+    )
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_revisits").cast("long").alias("n_revisits"),
+        F.col("measure_sum").cast("long").alias("sum_cents"),
+    )
+
+
+ORACLE_SESSIONIZE_STREAMED = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+),
+s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM lagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_revisits,
+       COALESCE(CAST(SUM(value_cents) AS BIGINT), 0) AS sum_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (stdlib PNG codec: zlib inflate +
+    full scanline filter reconstruction, operators/multimodal.decode_png)
+    + REAL nearest-neighbor resize: per document a PNG is synthesized
+    with the SAME pixel formula as ``multimodal_image``'s BMPs but
+    carried through the compressed container — per-row filters cycle
+    through all five PNG filter types with a doc-dependent rotation, and
+    every 4th document is RGBA (color type 6; alpha ignored by the
+    channel sums). The oracle recomputes the sums analytically from the
+    pixel formula, so an inflate, filter-reconstruction, RGBA-stride, or
+    resize-index bug breaks the hash. Reference decode analog:
+    reference/datasets/videoset.py:66-95 (cv2 over compressed frames)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_png,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 4 + doc_id % 13, 4 + tlen % 11
+
+                def px(x, y, doc_id=doc_id):
+                    return (
+                        (doc_id * 7 + y * 31 + x * 13) % 256,
+                        (doc_id * 11 + y * 17 + x * 5) % 256,
+                        (doc_id * 3 + y * 7 + x * 19) % 256,
+                        (doc_id * 5 + y * 3 + x * 11) % 256,  # alpha (rgba docs)
+                    )
+
+                rot = doc_id % 5
+                cycle = tuple((rot + i) % 5 for i in range(5))
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_png(w, h, px, filter_cycle=cycle, rgba=(doc_id % 4 == 0))
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_png_oracle() -> str:
+    chans = {
+        "r": "(doc_id * 7 + y * 31 + x * 13) % 256",
+        "g": "(doc_id * 11 + y * 17 + x * 5) % 256",
+        "b": "(doc_id * 3 + y * 7 + x * 19) % 256",
+    }
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        + expr.replace("x", "(t % w)").replace("y", "(t // w)")
+        + f")) AS BIGINT) AS sum_{c}"
+        for c, expr in chans.items()
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        + expr.replace("x", "(((t % 8) * w) // 8)").replace("y", "(((t // 8) * h) // 6)")
+        + f")) AS BIGINT) AS rs_sum_{c}"
+        for c, expr in chans.items()
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 4 + (doc_id % 13) AS w, 4 + (length(text) % 11) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 24 END AS INT) AS bpp,
+       {full}, {rs}
+FROM p
+"""
+
+
 def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 CSV manifest round-trip (the reference builds its work list
     from a CSV of clip paths, reference/datasets/videoset.py:21-36 +
@@ -2019,11 +2195,37 @@ FROM idx
 """
 
 
+# Ordering contract: the driver caps its per-round correctness sweep at
+# 50 rows, and dict order decides who is in it. NEW rows (never driver-
+# verified) lead, then rows whose last green round is OLDEST (r4: the 11
+# rows outside r3's cap, green as of r2), then freshly-r3-green rows
+# fill the cap; the overflow at the back is always rows confirmed in the
+# immediately-previous round, so the union of any two consecutive rounds
+# covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new in r4 (never driver-verified) ---
+    "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
+    "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
+    # --- last green in r2 (outside r3's 50-row cap) ---
+    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
+    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
+    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
+    "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
+    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
+    "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
+    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
+    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
+    "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
+    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    # --- r3-green: flagships + operators touched by r4 changes first ---
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
@@ -2031,10 +2233,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
     "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
-    # rows below run FIRST after the flagships: the driver caps its
-    # per-round correctness sweep at 50 rows, and dict order decides who
-    # is in it — never-yet-confirmed and newest rows go up front, rows
-    # green in multiple prior rounds rotate to the back.
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
     "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
@@ -2048,6 +2246,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "session_stats": (q_session_stats, ORACLE_SESSION_STATS),
     "backfill": (q_backfill, ORACLE_BACKFILL),
     "lag_lead": (q_lag_lead, ORACLE_LAG_LEAD),
+    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
+    "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "langid": (q_langid, _langid_oracle()),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "corpus_clean": (q_corpus_clean, _corpus_clean_oracle()),
+    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
+    # --- back of the rotation (r3-green; next-oldest after r4 runs) ---
     "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
     "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
     "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
@@ -2061,30 +2270,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
-    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
-    "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "langid": (q_langid, _langid_oracle()),
-    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "corpus_clean": (q_corpus_clean, _corpus_clean_oracle()),
-    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
-    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
-    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
-    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
-    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
-    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
-    "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
-    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
-    "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
-    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
-    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
-    "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
-    "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
-    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
 }
 
 

@@ -111,6 +111,30 @@ def test_chunked_flagship_exact_parity(spark, pages_df, features, trunc):
         np.testing.assert_array_equal(va, vb, err_msg=f"{trunc}:{col}")
 
 
+def test_auto_chunk_decision(spark, pages_df):
+    """VERDICT r3 #6: with no caller flag, the flagship picks the
+    chunked plan iff some entity's row count reaches the threshold —
+    skewed corpora chunk, uniform corpora stay on the plain plan, and
+    both remain value-exact (parity is test_chunked_flagship_exact_
+    parity's job; here we assert the CHOICE and the plan shape)."""
+    from slowfast_feature_extractor_spark.plans.featurize import auto_chunk_decision
+
+    # uniform fixture: a handful of rows per url -> plain
+    assert auto_chunk_decision(pages_df, "url", threshold=50_000) is None
+    # hot-entity regime (tiny threshold stands in for 50k at fixture scale)
+    assert auto_chunk_decision(pages_df, "url", threshold=2) == "day"
+
+    def plan(df):
+        return df._jdf.queryExecution().toString()
+
+    plain = featurize_pages(pages_df)  # auto -> plain on uniform data
+    chunked = featurize_pages(pages_df, auto_chunk_threshold=2)  # auto -> chunked
+    # the chunked temporal stage folds carries in applyInPandas; the
+    # plain plan has no grouped-map python node
+    assert "FlatMapGroupsInPandas" not in plan(plain)
+    assert "FlatMapGroupsInPandas" in plan(chunked)
+
+
 def test_chunked_flagship_rejects_bad_args(pages_df):
     with pytest.raises(ValueError, match="chunk_trunc"):
         featurize_pages(pages_df, chunk_trunc="hour")
