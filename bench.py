@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "multimodal_audio",
     "multimodal_image",
+    "multimodal_png",
     "corpus_clean",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
@@ -70,7 +71,9 @@ BENCH_QUERIES = [
 ]
 # dedup_clusters is registry-checked but not timed here: at fixture
 # scale (59 pairs) the convergence loop measures scheduler overhead,
-# not throughput
+# not throughput. sessionize_streamed is likewise registry-only: an
+# availableNow micro-batch run times trigger/checkpoint latency, not
+# operator throughput (the batch sessionize rows above time that).
 
 PAGES_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "pages")
 PAGES_KNOBS = dict(n_hosts=120, paths_per_host=10, base_revisits=12, seed=42)
@@ -454,6 +457,19 @@ def write_scaling_md(results: dict, levels, calib: dict[int, float]) -> dict:
         md.append("| " + " | ".join(row) + " |")
     md += [
         "",
+        "Per-workload kernel ceiling (round 4): the generic pure-Python",
+        "loop above UNDERSTATES contention for array-heavy kernels. A",
+        "multiprocessing harness running JUST the embedding near-dup",
+        "scoring kernel (float32 strip-GEMM + threshold scan, no Spark,",
+        "no shuffle, no Arrow) scaled 8\u219232 processes at 0.28",
+        "efficiency best-of-4 (66.0\u219274.5 blocks/s) in a window where",
+        "the generic loop ceiling read 0.89: thin (d=64) GEMM saturates",
+        "the single memory bus by itself. embedding_neardup_160k's weak",
+        "8\u219232 efficiency is therefore the HOST's kernel ceiling, not",
+        "an engine plan defect \u2014 the engine-attributable shape (per-",
+        "bucket sub-quadratic shuffle, bounded GEMM groups) is what",
+        "transfers to a real cluster where each node brings its own bus.",
+        "",
         "Round-3 plan changes behind these numbers: minhash shuffles",
         "int64 keys everywhere (was 32-char md5 hex — 4× the bytes),",
         "shingles hash+dedup inside the per-doc array (the old",
@@ -530,8 +546,11 @@ def run_skew_demo(cpus: int, n_hot: int = 400_000, repeats: int = 3) -> None:
     pages = spark.read.parquet(path)
     walls = {}
     for label, kwargs in (
-        ("entity-partitioned (plain)", {}),
+        ("entity-partitioned (plain)", {"chunk_trunc": None}),
         ('chunked (chunk_trunc="day")', {"chunk_trunc": "day"}),
+        # no flag: auto_chunk_decision sees the 400k-row hot url and
+        # picks the chunked plan itself (VERDICT r3 #6)
+        ("auto chooser (no flag)", {}),
     ):
         best = float("inf")
         for _ in range(repeats):
@@ -543,6 +562,7 @@ def run_skew_demo(cpus: int, n_hot: int = 400_000, repeats: int = 3) -> None:
     spark.stop()
     plain = walls["entity-partitioned (plain)"]
     chunked = walls['chunked (chunk_trunc="day")']
+    auto = walls["auto chooser (no flag)"]
     md = [
         "# BENCH/SKEW — hot-entity demo (flagship chunk path)",
         "",
@@ -555,14 +575,15 @@ def run_skew_demo(cpus: int, n_hot: int = 400_000, repeats: int = 3) -> None:
         "",
         "| flagship plan | wall (s) |",
         "|---|---|",
-        f"| entity-partitioned (plain) | {plain:.2f} |",
+        f"| entity-partitioned (plain, forced chunk_trunc=None) | {plain:.2f} |",
         f"| chunk_trunc=\"day\" | {chunked:.2f} |",
+        f"| auto chooser (no flag -> chunked; incl. count sketch) | {auto:.2f} |",
         "",
         f"**Speedup {plain / chunked:.2f}×** on the skewed corpus — the",
         "difference between one straggler task owning a million-revisit",
         "url and that url spreading across its day chunks. On uniform",
-        "corpora the plain plan stays the default (one exchange, zero",
-        "carry overhead).",
+        "corpora the auto chooser keeps the plain plan (one exchange,",
+        "zero carry overhead) — no caller flag either way.",
     ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SKEW.md", "w") as f:
@@ -574,6 +595,7 @@ def run_skew_demo(cpus: int, n_hot: int = 400_000, repeats: int = 3) -> None:
         "unit": "ratio",
         "plain_s": round(plain, 3),
         "chunked_s": round(chunked, 3),
+        "auto_s": round(auto, 3),
         "n_hot": n_hot,
     }))
 

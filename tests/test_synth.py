@@ -43,3 +43,26 @@ def test_embeddings_shape(spark):
     assert len(rows) == 100 and all(len(r["embedding"]) == 16 for r in rows)
     flat = [x for r in rows for x in r["embedding"]]
     assert min(flat) >= -1.0 and max(flat) <= 1.0
+
+
+def test_bytes_conf_suffix_parsing():
+    """ADVICE r3: Spark accepts both '128m' and '128mb' spellings
+    (JavaUtils.byteStringAs); the split estimator must parse both or it
+    silently falls back to the eager partition probe."""
+    from slowfast_feature_extractor_spark.sources.tables import _bytes_conf
+
+    class _Conf(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    for raw, want in (
+        ("134217728", 134217728),
+        ("128m", 128 * 1024**2),
+        ("128mb", 128 * 1024**2),
+        ("1gb", 1024**3),
+        ("64KB", 64 * 1024),
+        ("2tb", 2 * 1024**4),
+        ("512b", 512),
+        ("4194304b", 4194304),
+    ):
+        assert _bytes_conf(_Conf(k=raw), "k", 0) == want, raw
