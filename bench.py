@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "multimodal_image",
     "multimodal_png",
     "corpus_clean",
+    "url_canonicalize",
+    "doc_repetition",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",

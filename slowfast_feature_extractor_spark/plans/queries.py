@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from slowfast_feature_extractor_spark.functions import textstats as TS
+from slowfast_feature_extractor_spark.functions import urltools as UT
 from slowfast_feature_extractor_spark.functions.extraction import extract_text_udf
 from slowfast_feature_extractor_spark.functions.keys import (
     label_remap,
@@ -2195,6 +2196,223 @@ FROM idx
 """
 
 
+# --------------------------------------------- web-corpus pipeline (r4)
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-pipeline P6/P7 analog (key parse → canonical key construct,
+    reference/datasets/videoset.py:40-55): synthesize a deterministic
+    messy URL per document and canonicalize it map-side — lowercase
+    scheme/host, strip www./default ports/trailing slash/fragment, drop
+    tracking params, bytewise-sort the rest. Zero shuffle; scales with
+    input splits at any cluster size."""
+    d = _docs(spark, sf_dir)
+    d = d.select(
+        "doc_id", UT.synth_url(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    host = UT.canon_host(F.col("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        UT.canonicalize_url(F.col("url")).alias("canon_url"),
+        host.alias("host"),
+        UT.registered_domain(host).alias("domain"),
+    )
+
+
+_SYNTH_URL_SQL = """
+  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+  || '://'
+  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || upper(source) || '.Example.COM'
+           ELSE source || '.example.com' END)
+  || (CASE WHEN doc_id % 5 = 0
+           THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+           ELSE '' END)
+  || '/Archive/' || CAST(doc_id AS VARCHAR)
+  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN ''
+           WHEN doc_id % 2 = 0
+           THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR) || '&ref=rss'
+           ELSE '?id=' || CAST(doc_id % 97 AS VARCHAR) || '&utm_campaign=crawl' END)
+  || (CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END)
+"""
+
+ORACLE_URL_CANONICALIZE = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+), p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+  FROM u
+), q AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(rest, '^([^?]*)', 1) AS path,
+         coalesce(array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT starts_with(x, 'gclid=') AND NOT starts_with(x, 'fbclid=')
+                  AND NOT starts_with(x, 'ref='))), '&'), '') AS cq
+  FROM p
+)
+SELECT doc_id, url,
+       scheme || '://' || host
+       || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END)
+       || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path, '/+$', '') END)
+       || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url,
+       host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM q
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition signals: duplicate-word
+    fraction, top-word fraction, top-bigram fraction. Two explode →
+    two-level groupBy pipelines (word and bigram) joined per doc — the
+    classic map-side-combinable shape (partial counts per split, one
+    shuffle on (doc_id, token)); no Python, no windows."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks"))
+    w = t.select("doc_id", F.explode("toks").alias("w"))
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per_w = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("mx"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    b = t.select("doc_id", F.explode(bigrams).alias("b"))
+    bc = b.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    per_b = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("btot"), F.max("c").alias("bmx")
+    )
+    tot = F.col("n_words").cast("double")
+    return (
+        per_w.join(per_b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round((F.col("n_words") - F.col("n_distinct")) / tot, 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("mx") / tot, 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("bmx") / F.col("btot").cast("double"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+), per_w AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS mx
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS b FROM t)
+  GROUP BY doc_id, b
+), per_b AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS btot, max(c) AS bmx
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_distinct,
+       round((w.n_words - w.n_distinct) * 1.0 / w.n_words, 6) AS dup_word_frac,
+       round(w.mx * 1.0 / w.n_words, 6) AS top_word_frac,
+       round(coalesce(b.bmx * 1.0 / b.btot, 0.0), 6) AS top_bigram_frac
+FROM per_w w LEFT JOIN per_b b ON w.doc_id = b.doc_id
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split by content-independent
+    key hash (the standard leakage-safe corpus split: bucket =
+    md5(doc key) % 100 → 90/5/5), aggregated per (split, lang). Pure
+    map-side hash + one partial-aggregated groupBy — at 10^12 rows this
+    is a scan plus a tiny shuffle of (split × lang) partials."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        DD.md5i64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+ORACLE_HASH_SPLIT = """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bk,
+         lang, n_chars
+  FROM documents
+)
+SELECT CASE WHEN bk < 90 THEN 'train'
+            WHEN bk < 95 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-16 docs per source stratum
+    ordered by key hash (reproducible across runs/engines, unlike
+    rand()-based sampleBy). The rank<=16 filter over a partitioned
+    row_number hits Spark's WindowGroupLimit rewrite — each map task
+    keeps only its local top-16 per group before the shuffle, so the
+    exchanged volume is O(strata × 16), not O(rows)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 16)
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, lang, rk FROM (
+  SELECT doc_id, source, lang,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+  FROM documents)
+WHERE rk <= 16
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -2204,6 +2422,10 @@ FROM idx
 # covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r4 (never driver-verified) ---
+    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
