@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "multimodal_audio",
     "multimodal_image",
     "multimodal_png",
+    "multimodal_jpeg",
     "corpus_clean",
     "url_canonicalize",
     "doc_repetition",

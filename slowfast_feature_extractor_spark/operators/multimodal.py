@@ -14,16 +14,21 @@ Two media paths are REAL end-to-end with stdlib-only codecs:
   (``multimodal_audio``);
 - image: :func:`decode_image` parses uncompressed 24-bit BMP with
   ``struct`` (BGR order, bottom-up rows, 4-byte padding — pixel
-  round-trip tested) AND compressed PNG with :func:`decode_png`
+  round-trip tested), compressed PNG with :func:`decode_png`
   (stdlib zlib inflate + full scanline filter reconstruction, types
-  0-4, 8-bit RGB/RGBA); :func:`resize_nearest` is a real resize
-  kernel, and :func:`image_meta` chains decode → resize → channel sums
-  with analytic oracles (``multimodal_image``, ``multimodal_png``).
+  0-4, 8-bit RGB/RGBA), AND baseline JPEG with :func:`decode_jpeg`
+  (marker walk, canonical Huffman entropy decode, dequantize, exact
+  IDCT, JFIF color convert — 4:4:4 and grayscale scans);
+  :func:`resize_nearest` is a real resize kernel, and
+  :func:`image_meta` chains decode → resize → channel sums with
+  analytic oracles (``multimodal_image``, ``multimodal_png``,
+  ``multimodal_jpeg``).
 
-JPEG/video still need a production codec (PIL/cv2 — absent in this
-container): those raise ``NotImplementedError`` while their Spark-side
-plumbing (schema, batching, UDF signature, partitioning) is exercised
-by :func:`media_meta`'s deterministic fake featurizer.
+Subsampled/progressive JPEG and video still need a production codec
+(PIL/cv2 — absent in this container): those raise
+``NotImplementedError`` while their Spark-side plumbing (schema,
+batching, UDF signature, partitioning) is exercised by
+:func:`media_meta`'s deterministic fake featurizer.
 """
 
 from __future__ import annotations
@@ -197,6 +202,321 @@ def synth_png(width: int, height: int, pixel_fn, filter_cycle=(0, 1, 2, 3, 4), r
     )
 
 
+# ------------------------------------------------------------- JPEG
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Huffman alphabets this engine's encoder emits (the decoder is spec-
+# driven from the file's own DHT segments, so ANY valid tables decode):
+# DC categories 0..11 as 4-bit canonical codes, and the full baseline
+# AC symbol set (EOB, ZRL, run/size pairs) as 8-bit canonical codes —
+# prefix-free by construction, all-ones code unused as T.81 requires.
+_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _jpeg_huff_spec(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 canonical code generation."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix():
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    a[0, :] /= np.sqrt(2.0)
+    return a  # pixels = A.T @ coefs @ A
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment (0xFF00 already
+    unstuffed by the marker scan)."""
+
+    def __init__(self, buf: bytes):
+        self.buf, self.pos, self.bit = buf, 0, 0
+
+    def read_bit(self) -> int:
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes):
+    """REAL baseline JPEG decode via stdlib ``struct`` + numpy: marker
+    walk (DQT/SOF0/DHT/SOS), canonical Huffman decode of the entropy
+    stream (DC category + EXTEND, AC run/size with EOB/ZRL), dezigzag,
+    dequantize, exact separable float64 IDCT, level shift, and JFIF
+    YCbCr→RGB with round-half-even — dict(width, height, bpp, pixels
+    HxWx3 uint8). Supports baseline sequential (SOF0) grayscale and
+    4:4:4 three-component scans; subsampled chroma or progressive scans
+    need a production codec and raise NotImplementedError. Reference
+    decode analog: reference/datasets/videoset.py:66-95 (cv2 over
+    compressed frames) — the same decode step, zero third-party deps."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    comps: list[dict] = []
+    width = height = None
+    scan: bytes | None = None
+    scan_order: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for z in range(64):
+                    tbl[_JPEG_ZIGZAG[z]] = seg[i + z]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 / grayscale sampling supported"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                codes = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                i += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"], comp["ac"] = tables >> 4, tables & 15
+                scan_order.append(comp)
+            # entropy-coded bytes follow until the next real marker
+            out = bytearray()
+            while pos < len(data):
+                b = data[pos]
+                if b == 0xFF:
+                    nxt = data[pos + 1]
+                    if nxt == 0x00:
+                        out.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError("restart markers unsupported")
+                    break
+                out.append(b)
+                pos += 1
+            scan = bytes(out)
+            break
+    if width is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    def huff_decode(rd: _BitReader, table: dict) -> int:
+        code = ln = 0
+        while ln < 16:
+            code = (code << 1) | rd.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    a = _idct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan_order]
+    rd = _BitReader(scan)
+    pred = [0] * len(scan_order)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, comp in enumerate(scan_order):
+                coefs = np.zeros(64, dtype=np.float64)
+                t = huff_decode(rd, huff[(0, comp["dc"])])
+                pred[ci] += _jpeg_extend(rd.receive(t), t)
+                coefs[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = huff_decode(rd, huff[(1, comp["ac"])])
+                    r, s = rs >> 4, rs & 15
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(rd.receive(s), s)
+                    k += 1
+                block = coefs.reshape(8, 8) * qt[comp["tq"]]
+                px = a.T @ block @ a + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = [p[:height, :width] for p in planes]
+    if len(planes) == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        px3 = np.repeat(y[:, :, None], 3, axis=2)
+        return {"width": width, "height": height, "bpp": 8, "pixels": px3}
+    if len(planes) != 3:
+        raise NotImplementedError("1- or 3-component scans only")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px3 = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return {"width": width, "height": height, "bpp": 24, "pixels": px3}
+
+
+def synth_jpeg(
+    width: int, height: int, block_fn, gray: bool = False, ac_fn=None
+) -> bytes:
+    """Serialize ``block_fn(bx, by) -> (y, cb, cr)`` (flat 8x8 blocks,
+    components in 0..255) into a REAL baseline JPEG: canonical Huffman
+    DC/AC tables, flat-8 quant tables, interleaved 4:4:4 (or single-
+    component when ``gray``) entropy stream with byte stuffing. With
+    q[0,0]=8 the DC-only blocks decode bit-exactly (quantized DC =
+    y-128, IDCT of a DC-only block = DC*q/8), which is what makes the
+    ``multimodal_jpeg`` oracle analytic. Width/height must be multiples
+    of 8. ``ac_fn(bx, by, ci) -> [(zigzag_k, quantized_val), ...]``
+    (sorted, k in 1..63, val != 0) optionally writes AC coefficients —
+    used by the round-trip tests to exercise run/size + ZRL decode."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("synth_jpeg needs multiple-of-8 dimensions")
+    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
+    ac_bits, ac_vals = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = bytes([8] * 64)
+    seg(0xDB, bytes([0x00]) + zz_q)  # quant table 0, flat 8
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bitbuf: list[int] = [0, 0]  # acc, nbits
+
+    def put(code: int, n: int) -> None:
+        acc, nb = bitbuf
+        acc = (acc << n) | code
+        nb += n
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+        bitbuf[0], bitbuf[1] = acc, nb
+
+    pred = [0] * ncomp
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            vals = block_fn(bx, by)
+            comps = [vals[0]] if gray else list(vals[:3])
+            for ci, v in enumerate(comps):
+                dc = int(v) - 128  # quantized DC with q00=8: round(8v'/8)
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = diff.bit_length() if diff else 0
+                code, ln = dc_codes[t]
+                put(code, ln)
+                if t:
+                    put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                acs = ac_fn(bx, by, ci) if ac_fn is not None else []
+                last = 0
+                for k, av in acs:
+                    run = k - last - 1
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                        put(zc, zl)
+                        run -= 16
+                    s = int(av if av >= 0 else -av).bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    put(code, ln)
+                    put(av if av >= 0 else av + (1 << s) - 1, s)
+                    last = k
+                if last < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    put(code, ln)
+    if bitbuf[1]:
+        pad = 8 - bitbuf[1]
+        put((1 << pad) - 1, pad)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def decode_image(data: bytes):
     """REAL image decode, routed by container signature: uncompressed
     24-bit BMP via stdlib ``struct`` (BITMAPFILEHEADER + BITMAPINFOHEADER
@@ -214,10 +534,13 @@ def decode_image(data: bytes):
 
     if len(data) >= 8 and data[:8] == _PNG_SIG:
         return decode_png(data)
+    if len(data) >= 2 and data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
-            "stdlib-decodable containers are 24-bit BMP and 8-bit RGB/RGBA "
-            "PNG; plug a codec (PIL/cv2) in for JPEG/video"
+            "stdlib-decodable containers are 24-bit BMP, 8-bit RGB/RGBA PNG "
+            "and baseline 4:4:4/grayscale JPEG; plug a codec (PIL/cv2) in "
+            "for subsampled/progressive JPEG and video"
         )
     offset = struct.unpack_from("<I", data, 10)[0]
     width, height = struct.unpack_from("<ii", data, 18)
@@ -469,11 +792,12 @@ def frame_sample(
 
 
 def resize_stub(data: bytes, out_w: int, out_h: int):  # pragma: no cover - stub
-    """Resize over JPEG/video bytes needs a codec to decode first
-    (cv2.resize in the reference, reference/datasets/videoset.py:91-95).
-    For stdlib-decodable BMP/PNG the real path is
+    """Resize over video/subsampled-JPEG bytes needs a production codec
+    to decode first (cv2.resize in the reference,
+    reference/datasets/videoset.py:91-95). For stdlib-decodable
+    BMP/PNG/baseline-JPEG the real path is
     ``resize_nearest(decode_image(data)["pixels"], w, h)``."""
-    raise NotImplementedError("JPEG/video codec not available in this environment")
+    raise NotImplementedError("video codec not available in this environment")
 
 
 def media_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:

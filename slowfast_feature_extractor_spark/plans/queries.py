@@ -1941,6 +1941,78 @@ FROM p
 """
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DCT-compressed-image decode (stdlib baseline JPEG codec:
+    marker walk, canonical Huffman entropy decode, dequantize, exact
+    float64 IDCT, JFIF color convert — operators/multimodal.decode_jpeg)
+    + REAL nearest-neighbor resize: per document a baseline JPEG of
+    flat 8x8 blocks is synthesized (block luma from a doc-dependent
+    formula, neutral chroma so the color convert is bit-exact; every
+    4th document takes the single-component grayscale scan path) and
+    pushed through the same decode → resize → channel-sum chain as the
+    BMP/PNG rows. The oracle recomputes the sums analytically from the
+    block formula, so a Huffman, dezigzag, dequant, IDCT, color-convert
+    or resize bug breaks the hash. Reference decode analog:
+    reference/datasets/videoset.py:66-95 (cv2 over compressed frames)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_jpeg,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 8 * (1 + doc_id % 3), 8 * (1 + tlen % 2)
+
+                def bf(bx, by, doc_id=doc_id):
+                    return ((doc_id * 7 + by * 31 + bx * 13) % 256, 128, 128)
+
+                out["doc_id"].append(doc_id)
+                out["image"].append(synth_jpeg(w, h, bf, gray=(doc_id % 4 == 0)))
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_jpeg_oracle() -> str:
+    # pixel(x, y) = blockY(x // 8, y // 8) on all three channels
+    # (neutral chroma -> R = G = B = Y exactly)
+    def term(xe: str, ye: str) -> str:
+        return f"(doc_id * 7 + (({ye}) // 8) * 31 + (({xe}) // 8) * 13) % 256"
+
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        + term("t % w", "t // w")
+        + f")) AS BIGINT) AS sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        + term("((t % 8) * w) // 8", "((t // 8) * h) // 6")
+        + f")) AS BIGINT) AS rs_sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + length(text) % 2) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 24 END AS INT) AS bpp,
+       {full}, {rs}
+FROM p
+"""
+
+
 def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 CSV manifest round-trip (the reference builds its work list
     from a CSV of clip paths, reference/datasets/videoset.py:21-36 +
@@ -2426,6 +2498,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---

@@ -157,10 +157,12 @@ def test_decode_image_rejects_codecless_formats():
 
     from slowfast_feature_extractor_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG needs a codec
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # corrupt JPEG
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")  # corrupt PNG: data error
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWEBP" + b"\x00" * 64)  # no stdlib codec
 
 
 def test_decode_png_roundtrip_all_filters():
@@ -231,3 +233,115 @@ def test_image_meta_decodes_png_and_nulls_corrupt(spark):
     # sums: r = sum(x+1) over 4x2 = 2*(1+2+3+4)=20; g = 4*(2+3)=20; b = 8*3
     assert (got[1]["sum_r"], got[1]["sum_g"], got[1]["sum_b"]) == (20, 20, 24)
     assert got[2]["width"] is None and got[3]["width"] is None
+
+
+def test_decode_jpeg_flat_blocks_exact():
+    """DC-only blocks with q00=8 and neutral chroma decode bit-exactly
+    (quantized DC = Y-128; IDCT of a DC-only block = DC*q/8)."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_image,
+        synth_jpeg,
+    )
+
+    def bf(bx, by):
+        return ((7 * bx + 31 * by + 5) % 256, 128, 128)
+
+    d = decode_image(synth_jpeg(16, 24, bf))
+    assert (d["width"], d["height"], d["bpp"]) == (16, 24, 24)
+    for by in range(3):
+        for bx in range(2):
+            want = (7 * bx + 31 * by + 5) % 256
+            blk = d["pixels"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == want).all(), (bx, by, want)
+
+    g = decode_image(synth_jpeg(8, 8, lambda bx, by: (200, 0, 0), gray=True))
+    assert g["bpp"] == 8 and (g["pixels"] == 200).all()
+
+
+def test_decode_jpeg_color_convert_exact():
+    """Non-neutral chroma: decoded RGB equals the JFIF formulas with
+    round-half-even + clamp, per block."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    def bf(bx, by):
+        return (90 + 10 * bx, 100 + 20 * by, 50 + 30 * bx)
+
+    d = decode_jpeg(synth_jpeg(24, 16, bf))
+    for by in range(2):
+        for bx in range(3):
+            y, cb, cr = bf(bx, by)
+            want = [
+                np.clip(np.rint(y + 1.402 * (cr - 128)), 0, 255),
+                np.clip(
+                    np.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+                    0, 255,
+                ),
+                np.clip(np.rint(y + 1.772 * (cb - 128)), 0, 255),
+            ]
+            assert (d["pixels"][by * 8, bx * 8] == want).all(), (bx, by)
+
+
+def test_decode_jpeg_ac_coefficients_vs_reference_idct():
+    """AC run/size + ZRL entropy decode round-trips: decoded pixels
+    match an independent explicit-double-loop IDCT of the same
+    dequantized coefficients."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    acs = [(1, 3), (5, -7), (40, 12), (63, -1)]  # 5 -> 40 gap forces ZRLs
+    d = decode_jpeg(
+        synth_jpeg(8, 8, lambda bx, by: (100, 128, 128), gray=True,
+                   ac_fn=lambda bx, by, ci: acs)
+    )
+    coef = np.zeros(64)
+    coef[0] = 100 - 128
+    for k, v in acs:
+        coef[_JPEG_ZIGZAG[k]] = v
+    cf = coef.reshape(8, 8) * 8.0
+    want = np.zeros((8, 8))
+    for x in range(8):
+        for yy in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * cf[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * yy + 1) * v * np.pi / 16))
+            want[x, yy] = s / 4 + 128
+    want = np.clip(np.rint(want), 0, 255)
+    assert (d["pixels"][:, :, 0].astype(float) == want).all()
+
+
+def test_decode_jpeg_rejects_unsupported_modes():
+    import struct
+
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    blob = bytearray(synth_jpeg(8, 8, lambda bx, by: (1, 128, 128)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC0
+    blob[sof + 11] = 0x22  # 4:2:0 sampling factors on component 1
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
