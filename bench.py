@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "corpus_clean",
     "url_canonicalize",
     "doc_repetition",
+    "sequence_pack",
+    "decontaminate",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",

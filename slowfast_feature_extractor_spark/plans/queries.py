@@ -2485,6 +2485,163 @@ WHERE rk <= 16
 """
 
 
+_SHUF_KEY_SQL = (
+    "CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _shuf_key() -> F.Column:
+    return DD.md5i64(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training export: every
+    doc gets a content-independent hash key, a shard (key mod 64), and
+    its position within the shard — the standard pre-training
+    randomization, reproducible across runs and engines (no rand()).
+    Each shard ranks independently (window partitioned on shard), so at
+    10^12 rows this is one hash-partitioned shuffle into 64-way
+    parallel sorts — no global total order ever materializes on one
+    task."""
+    d = _docs(spark, sf_dir)
+    key = _shuf_key()
+    w = Window.partitionBy("shard").orderBy("shuf_key", "doc_id")
+    return (
+        d.select(
+            "doc_id", key.alias("shuf_key"), (key % 64).cast("int").alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id, {_SHUF_KEY_SQL} AS shuf_key FROM documents
+)
+SELECT doc_id, shuf_key, CAST(shuf_key % 64 AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY shuf_key % 64
+           ORDER BY shuf_key, doc_id) AS INT) AS pos
+FROM k
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the shuffled corpus and
+    chunk it into fixed 512-token training sequences — each doc reports
+    the sequence span it lands in and its token offset. The global
+    running total is computed SCALABLY as a two-level prefix sum: a
+    per-shard window cumsum (64-way parallel) plus a broadcast of the
+    64 shard prefix offsets — no single-partition global window, the
+    pattern that survives 10^12 rows. Canonical pack order is
+    shard-major: (shard, shuf_key, doc_id)."""
+    budget = 512
+    d = _docs(spark, sf_dir)
+    key = _shuf_key()
+    t = d.select(
+        "doc_id",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        key.alias("shuf_key"),
+        (key % 64).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuf_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum_in", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.select(
+        "shard", (F.sum("tot").over(wo) - F.col("tot")).alias("shard_off")
+    )
+    t = t.join(F.broadcast(offsets), "shard")
+    cum = F.col("shard_off") + F.col("cum_in")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(shard_off + cum_in) div {budget}").alias("seq_start"),
+        F.greatest(
+            F.expr(f"(shard_off + cum_in) div {budget}"),
+            F.expr(f"(shard_off + cum_in + n_tokens - 1) div {budget}"),
+        ).alias("seq_end"),
+        (cum % budget).alias("offset_in_seq"),
+    )
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_tokens,
+         {_SHUF_KEY_SQL} AS shuf_key
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             ORDER BY shuf_key % 64, shuf_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // 512 AS BIGINT) AS seq_start,
+       CAST(greatest(cum_before // 512,
+                     (cum_before + n_tokens - 1) // 512) AS BIGINT) AS seq_end,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the deterministic corpus split:
+    flag every TRAIN document sharing at least one hashed word-trigram
+    with any TEST document (the GPT-3/Pile-style n-gram overlap
+    check), reporting how many of its distinct trigrams collide.
+    Shingles are hashed + deduplicated map-side inside the per-doc
+    array (no shuffle of shingle text); the test-side shingle set is
+    ~5% of the corpus, so Catalyst/AQE broadcasts it under the
+    threshold and the train side never reshuffles at all — at 10^12
+    rows the same plan degrades gracefully to a sort-merge join on the
+    int64 shingle key."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        DD.md5i64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    sh = DD.shingle_table(d, "doc_id", "text", n=3).join(
+        d.select(F.col("doc_id").alias("id"), bucket.alias("bk")), "id"
+    )
+    train = sh.filter(F.col("bk") < 90).select("id", "shingle")
+    test = sh.filter(F.col("bk") >= 95).select("shingle").distinct()
+    return (
+        train.join(test, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bk,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> {_md5i64_sql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}
+         ))) AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+), tr AS (
+  SELECT doc_id, shingle FROM s WHERE bk < 90
+), te AS (
+  SELECT DISTINCT shingle FROM s WHERE bk >= 95
+)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN te USING (shingle)
+GROUP BY tr.doc_id
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -2499,6 +2656,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
+    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---

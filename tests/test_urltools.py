@@ -94,3 +94,70 @@ def test_stratified_sample_topk(spark):
     for src, rks in per_src.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), src
         assert len(rks) <= 16
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    from conftest import SF_TINY
+    from slowfast_feature_extractor_spark.plans.queries import q_corpus_shuffle
+
+    rows = q_corpus_shuffle(spark, SF_TINY).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["shard"] == r["shuf_key"] % 64
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_sequence_pack_invariants(spark):
+    """Concat-and-chunk semantics: every doc's offset < budget, spans
+    are consistent with its token count, and the two-level prefix sum
+    conserves the corpus total."""
+    from conftest import SF_TINY
+    from slowfast_feature_extractor_spark.plans.queries import q_sequence_pack
+
+    rows = q_sequence_pack(spark, SF_TINY).collect()
+    budget = 512
+    total = sum(r["n_tokens"] for r in rows)
+    max_end = max(r["seq_end"] for r in rows)
+    # chunk count implied by spans == chunk count implied by the total
+    assert max_end == (total - 1) // budget
+    for r in rows:
+        assert 0 <= r["offset_in_seq"] < budget
+        assert r["seq_start"] <= r["seq_end"]
+        span_capacity = (r["seq_end"] - r["seq_start"] + 1) * budget
+        assert r["offset_in_seq"] + r["n_tokens"] <= span_capacity
+
+
+def test_decontaminate_flags_real_overlaps_only(spark, tmp_path):
+    """A planted test-split doc contaminates exactly the train docs
+    sharing a trigram with it, with the right collision counts."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.dedup import md5i64  # noqa: F401
+    from slowfast_feature_extractor_spark.plans.queries import q_decontaminate
+
+    # find ids landing in train (<90) and test (>=95) buckets
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(400) if bucket(i) < 90][:3]
+    test_ids = [i for i in range(400) if bucket(i) >= 95][:1]
+    assert train_ids and test_ids
+    leak = "alpha beta gamma delta"          # shared 4 tokens -> 2 trigrams
+    clean = "one two three four five"
+    docs = pd.DataFrame(
+        {
+            "doc_id": train_ids + test_ids,
+            "text": [leak, clean, "x y z w", leak + " extra"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r["doc_id"]: r["n_shared"] for r in q_decontaminate(spark, str(tmp_path)).collect()}
+    # train doc 0 shares both trigrams of 'alpha beta gamma delta';
+    # the test doc is 'leak + extra' which contains them plus more
+    assert got.get(train_ids[0]) == 2
+    assert train_ids[1] not in got and train_ids[2] not in got
