@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "doc_repetition",
     "sequence_pack",
     "decontaminate",
+    "pii_redact",
+    "lm_unigram_score",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",

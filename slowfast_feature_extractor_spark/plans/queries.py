@@ -2642,6 +2642,121 @@ GROUP BY tr.doc_id
 """
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every web-corpus pipeline
+    runs before training: deterministic email/phone/IP strings are
+    injected per document, then redacted with shared-semantics regexes
+    (counts taken pre-redaction, placeholder substitution after).
+    Map-only JVM regex work, zero shuffle; the oracle re-runs the same
+    patterns in DuckDB and hashes the redacted text, so an engine-side
+    regex divergence breaks the row."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@crawl"), (i % 7).cast("string"), F.lit(".org tel +1-555-"),
+        F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10."), (i % 256).cast("string"),
+        F.lit("."), ((i * 3) % 256).cast("string"),
+        F.lit("."), ((i * 7) % 256).cast("string"),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@crawl' || CAST(doc_id % 7 AS VARCHAR) || '.org tel +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: build a unigram LM from the
+    corpus itself (word → count, one shuffle with map-side partials),
+    then score every document by its average log10 unigram probability
+    — the KenLM-style filter rank web pipelines use, self-contained.
+    The scoring join keys on the word; at corpus scale the word would
+    be hashed to int64 first (the minhash key discipline) and the
+    model's Zipf head makes the join skew-prone — AQE skew-split
+    handles it, or salt the top-k words. Output: (doc_id, n_tokens,
+    avg_logp) with avg_logp = (Σ log10 cnt(w) − n·log10 N) / n."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
+    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = model.agg(F.sum("cnt").cast("long").alias("tot"))
+    per_doc = (
+        toks.join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log10("cnt")).alias("sum_log"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("sum_log") - F.col("n_tokens") * F.log10("tot"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_logp"),
+    )
+
+
+ORACLE_LM_UNIGRAM_SCORE = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), m AS (
+  SELECT w, count(*) AS cnt FROM t GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM m
+), s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(log(cnt)) AS sum_log
+  FROM t JOIN m USING (w) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round((sum_log - n_tokens * log(tot)) / n_tokens, 6) AS avg_logp
+FROM s, tot
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -2659,6 +2774,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---

@@ -161,3 +161,39 @@ def test_decontaminate_flags_real_overlaps_only(spark, tmp_path):
     # the test doc is 'leak + extra' which contains them plus more
     assert got.get(train_ids[0]) == 2
     assert train_ids[1] not in got and train_ids[2] not in got
+
+
+def test_pii_redact_exact(spark, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_pii_redact
+
+    docs = pd.DataFrame({"doc_id": [3], "text": ["mail me at bob.smith@corp.io now"]})
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    r = q_pii_redact(spark, str(tmp_path)).collect()[0]
+    # injected: user3@crawl3.org, +1-555-0003, 10.3.9.21 — plus the
+    # in-text email; phone and ip appear once each
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (2, 1, 1)
+    want = (
+        "mail me at <EMAIL> now contact <EMAIL> tel <PHONE> host <IP>"
+    )
+    assert r["redacted_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_lm_unigram_score_orders_by_rarity(spark, tmp_path):
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_lm_unigram_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the the the the", "the the rare1 rare2", "zzz qqq vvv www"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r["doc_id"]: r["avg_logp"] for r in q_lm_unigram_score(spark, str(tmp_path)).collect()}
+    # common-word doc scores highest, all-hapax doc lowest
+    assert got[1] > got[2] > got[3]
