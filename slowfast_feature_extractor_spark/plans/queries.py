@@ -2544,13 +2544,26 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("shuf_key"),
         (key % 64).cast("int").alias("shard"),
     )
+    # materialize the join key's not-null filter BEFORE branching: the
+    # probe side of the broadcast join gets isnotnull(shard) pushed to
+    # its scan, and without the same filter on the totals branch the two
+    # exchange subtrees don't canonicalize equal — this line is what
+    # lets ReuseExchange collapse them into ONE corpus scan
+    t = t.filter(F.col("shard").isNotNull())
     w = (
         Window.partitionBy("shard")
         .orderBy("shuf_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = t.withColumn("cum_in", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    # shard totals derived FROM the windowed frame (last cum + own
+    # tokens), not from a fresh aggregation of the source: both branches
+    # then share the hashpartitioning(shard) exchange and Catalyst's
+    # ReuseExchange collapses them — the corpus is scanned ONCE, which
+    # is the difference between 1x and 2x IO at 10^12 rows
+    totals = t.groupBy("shard").agg(
+        F.max(F.col("cum_in") + F.col("n_tokens")).alias("tot")
+    )
     wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = totals.select(
         "shard", (F.sum("tot").over(wo) - F.col("tot")).alias("shard_off")
@@ -2603,13 +2616,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5% of the corpus, so Catalyst/AQE broadcasts it under the
     threshold and the train side never reshuffles at all — at 10^12
     rows the same plan degrades gracefully to a sort-merge join on the
-    int64 shingle key."""
+    int64 shingle key. The split predicate is pushed below the explode
+    on each branch, so the shingle hashing runs on 90%+5% of documents
+    (not 2× the corpus); a production run over a persisted shingle
+    table drops that to one pass."""
     d = _docs(spark, sf_dir)
     bucket = (
         DD.md5i64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     )
-    sh = DD.shingle_table(d, "doc_id", "text", n=3).join(
-        d.select(F.col("doc_id").alias("id"), bucket.alias("bk")), "id"
+    # bucket inlined next to the shingle explode (same map task) — no
+    # second scan / id-join just to attach the split label
+    hashed = F.array_distinct(
+        F.transform(TS.shingles(F.col("text"), 3), DD.md5i64)
+    )
+    sh = d.select(
+        F.col("doc_id").alias("id"), bucket.alias("bk"), F.explode(hashed).alias("shingle")
     )
     train = sh.filter(F.col("bk") < 90).select("id", "shingle")
     test = sh.filter(F.col("bk") >= 95).select("shingle").distinct()
