@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_redact",
     "lm_unigram_score",
+    "dedup_incremental",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",

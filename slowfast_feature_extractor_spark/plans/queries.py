@@ -2778,6 +2778,105 @@ FROM s, tot
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape that actually runs at 100 TB:
+    a NEW crawl batch (20% of docs by id hash here) is checked against
+    the EXISTING corpus without re-deduplicating the corpus itself.
+    Two passes over the new batch only: (1) exact — md5(text) left-semi
+    against the old corpus's distinct hashes; (2) near — MinHash band
+    buckets (same signature discipline as ``dedup_minhash_lsh``)
+    left-semi against the old corpus's distinct buckets. Both probes
+    key on int64/hex hashes, both old-side relations are
+    distinct-reduced before the join (partial aggregation), and nothing
+    ever pairs new×new or old×old — candidate volume is ∝ the batch,
+    not the corpus. Output: every new doc with its status
+    ('exact' | 'near' | 'unique')."""
+    d = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    keyed = d.select("doc_id", F.md5("text").alias("h"), is_new.alias("is_new"))
+    old_h = keyed.filter(~F.col("is_new")).select("h").distinct()
+    exact = (
+        keyed.filter("is_new").join(old_h, "h", "left_semi").select("doc_id")
+        .withColumn("exact", F.lit(True))
+    )
+    sigs = DD.minhash_signatures(d, num_hashes=_N_MINHASH).join(
+        d.select(F.col("doc_id").alias("id"), is_new.alias("is_new")), "id"
+    )
+    rows = _N_MINHASH // _N_BANDS
+    per_band = []
+    for b in range(_N_BANDS):
+        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        per_band.append(
+            sigs.select(
+                "id",
+                "is_new",
+                F.lit(b).alias("band"),
+                DD.md5i64(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    buckets = per_band[0]
+    for p in per_band[1:]:
+        buckets = buckets.unionByName(p)
+    old_b = buckets.filter(~F.col("is_new")).select("band", "bucket").distinct()
+    near = (
+        buckets.filter("is_new")
+        .join(old_b, ["band", "bucket"], "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    return (
+        keyed.filter("is_new")
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact"), F.lit("exact"))
+            .when(F.col("near"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+
+
+def _dedup_incremental_oracle() -> str:
+    salted = [
+        _md5i64_sql(f"concat('{i}:', CAST(shingle AS VARCHAR))")
+        for i in range(_N_MINHASH)
+    ]
+    mh_cols = ", ".join(f"min({s}) AS mh{i}" for i, s in enumerate(salted))
+    rows = _N_MINHASH // _N_BANDS
+    band_selects = []
+    for b in range(_N_BANDS):
+        parts = ", '|', ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, {_md5i64_sql(f'concat({parts})')} AS bucket FROM mh"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+mh AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+buckets AS ({buckets}),
+k AS (SELECT doc_id, md5(text) AS h, (doc_id % 10) >= 8 AS is_new FROM documents),
+old_h AS (SELECT DISTINCT h FROM k WHERE NOT is_new),
+exact AS (SELECT doc_id FROM k WHERE is_new AND h IN (SELECT h FROM old_h)),
+old_b AS (SELECT DISTINCT band, bucket FROM buckets
+          WHERE id IN (SELECT doc_id FROM k WHERE NOT is_new)),
+near AS (SELECT DISTINCT b.id AS doc_id
+         FROM buckets b JOIN old_b o
+           ON b.band = o.band AND b.bucket = o.bucket
+         WHERE b.id IN (SELECT doc_id FROM k WHERE is_new))
+SELECT k.doc_id,
+       CASE WHEN k.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN k.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'unique' END AS status
+FROM k WHERE k.is_new
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -2797,6 +2896,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
+    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---

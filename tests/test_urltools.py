@@ -197,3 +197,46 @@ def test_lm_unigram_score_orders_by_rarity(spark, tmp_path):
     got = {r["doc_id"]: r["avg_logp"] for r in q_lm_unigram_score(spark, str(tmp_path)).collect()}
     # common-word doc scores highest, all-hapax doc lowest
     assert got[1] > got[2] > got[3]
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(u)) == canon(u) — canonical form is a fixed point."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions import urltools as UT
+
+    df = spark.createDataFrame([(i, f"src{i % 5}") for i in range(80)],
+                               ["doc_id", "source"])
+    once = df.select(
+        UT.canonicalize_url(UT.synth_url(F.col("doc_id"), F.col("source"))).alias("c1")
+    )
+    both = once.select("c1", UT.canonicalize_url(F.col("c1")).alias("c2"))
+    assert both.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_dedup_incremental_plants_exact_and_near(spark, tmp_path):
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            # ids: %10>=8 -> new batch (8, 9, 18); others old corpus
+            "doc_id": [0, 1, 2, 8, 9, 18],
+            "text": [
+                base,                       # old
+                "one two three four five six seven",  # old
+                "completely different words here now",  # old
+                base,                       # new: exact dup of doc 0
+                base + " extra tail words changing little",  # new: near dup
+                "nothing in common with anything else at all",  # new: unique
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r["doc_id"]: r["status"] for r in q_dedup_incremental(spark, str(tmp_path)).collect()}
+    assert got[8] == "exact"
+    assert got[9] in ("near", "exact")  # banding admits it as near
+    assert got[9] == "near"
+    assert got[18] == "unique"
