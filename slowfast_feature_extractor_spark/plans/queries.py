@@ -1861,6 +1861,74 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver-checkable STREAMING exact dedup with BOUNDED state:
+    the corpus is replayed as two file-stream micro-batches — the
+    original crawl, then a full re-crawl 120 s later (every row a
+    duplicate) — through ``dropDuplicatesWithinWatermark`` on the
+    content hash. The watermark (10 min) covers the re-crawl delay, so
+    the second batch is suppressed entirely and the emitted set equals
+    the batch DISTINCT relation; unlike plain ``dropDuplicates``, state
+    for hashes older than the watermark is evicted, which is what makes
+    the operator runnable forever on a real crawl stream. Output is the
+    (hash, n_chars) SET — deterministic whatever the arrival order.
+    Reference analog: the skip-if-done resume predicate
+    (reference/test_net.py:60-75) as a continuous stream."""
+    import os
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir).select(
+        F.md5("text").alias("h"),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("doc_id") % 60).cast("double"))
+        ).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="sfe_dstream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    def _stage(df, name: str) -> None:
+        tmp = os.path.join(base, f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    _stage(d, "00-crawl")
+    _stage(
+        d.withColumn("ts", F.col("ts") + F.expr("INTERVAL 120 SECONDS")),
+        "01-recrawl",
+    )
+    stream = (
+        spark.readStream.schema("h string, n_chars long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("h", "n_chars")
+    )
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select("h", "n_chars")
+
+
+ORACLE_DEDUP_STREAMED = """
+SELECT DISTINCT md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode (stdlib PNG codec: zlib inflate +
     full scanline filter reconstruction, operators/multimodal.decode_png)
@@ -2897,6 +2965,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
     "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
+    "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
