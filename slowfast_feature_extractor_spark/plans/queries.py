@@ -2945,6 +2945,90 @@ FROM k WHERE k.is_new
 """
 
 
+def q_pagerank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph analytics over a deterministic synthetic link graph:
+    every doc links to ``(doc_id*7 + k) % n`` for k = 1..(1 + id%3)
+    (out-degree 1-3), and PageRank runs two unrolled power iterations
+    from the uniform vector (damping 0.85) — the classic host-ranking
+    signal a crawl pipeline feeds back into scheduling. Each iteration
+    is one shuffle: edges join the current rank vector on src (partial
+    per-dst aggregation), dangling mass handled by the left join's
+    coalesce. Unrolled iterations keep the whole computation a single
+    Catalyst plan; the open-ended variant (iterate to convergence with
+    localCheckpoint per round) is ``dedup_clusters``' pattern. Output
+    rounded at 9 dp — in-degree sums are ≤ a handful of terms, so
+    float addition order cannot reach the rounding granularity."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n_df = d.agg(F.count(F.lit(1)).alias("n"))
+    nodes = d.crossJoin(F.broadcast(n_df))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        ).alias("k"),
+    ).select(
+        "src", "n", ((F.col("src") * 7 + F.col("k")) % F.col("n")).alias("dst")
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e = edges.join(out_deg, "src")
+
+    def iterate(rank_df):
+        # rank_df: (doc_id, pr); contribution = pr(src)/odeg summed per dst
+        contrib = (
+            e.join(rank_df.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("odeg")).alias("mass"))
+        )
+        return (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    0.15 / F.col("n") + 0.85 * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+
+    pr = nodes.select("doc_id", (F.lit(1.0) / F.col("n")).alias("pr"))
+    pr = iterate(iterate(pr))
+    return (
+        pr.join(out_deg, pr["doc_id"] == out_deg["src"])
+        .select("doc_id", F.col("odeg").cast("int").alias("out_deg"),
+                F.round("pr", 9).alias("pr2"))
+    )
+
+
+ORACLE_PAGERANK2 = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + k) % n AS dst, n
+  FROM documents, nn,
+       unnest(range(1, 2 + doc_id % 3)) AS t(k)
+), od AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src
+), p0 AS (
+  SELECT doc_id, 1.0 / n AS pr FROM documents, nn
+), p1 AS (
+  SELECT d.doc_id,
+         0.15 / nn.n + 0.85 * COALESCE(m.mass, 0.0) AS pr
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p0.pr / od.odeg) AS mass
+             FROM e JOIN od USING (src) JOIN p0 ON p0.doc_id = e.src
+             GROUP BY e.dst) m ON m.dst = d.doc_id
+), p2 AS (
+  SELECT d.doc_id,
+         0.15 / nn.n + 0.85 * COALESCE(m.mass, 0.0) AS pr
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(p1.pr / od.odeg) AS mass
+             FROM e JOIN od USING (src) JOIN p1 ON p1.doc_id = e.src
+             GROUP BY e.dst) m ON m.dst = d.doc_id
+)
+SELECT p2.doc_id, CAST(od.odeg AS INT) AS out_deg, round(p2.pr, 9) AS pr2
+FROM p2 JOIN od ON od.src = p2.doc_id
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -2966,6 +3050,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
     "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
     "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
+    "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
