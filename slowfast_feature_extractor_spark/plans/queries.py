@@ -3029,6 +3029,61 @@ FROM p2 JOIN od ON od.src = p2.doc_id
 """
 
 
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats via EXPLICIT two-stage salted
+    aggregation — the skew treatment for the web's reality that one
+    domain can hold 10^9 of 10^12 pages: stage 1 aggregates
+    (domain, salt=doc_id%16) partials so a hot domain's rows spread
+    over 16 reducers, stage 2 merges the ≤16 partials per domain.
+    Every aggregate here is algebraic (count/sum/min/max decompose
+    exactly), so the salted result is bit-identical to the direct
+    groupBy the oracle runs. AQE's skew handling covers joins, not
+    aggregations — for aggs the salt IS the mechanism, and partial
+    (map-side) aggregation alone does not help when one reducer key
+    owns the group."""
+    d = _docs(spark, sf_dir)
+    domain = F.concat(F.col("source"), F.lit(".example.com")).alias("domain")
+    t = d.select(
+        domain,
+        (F.col("doc_id") % 16).alias("salt"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("lang"),
+    )
+    stage1 = t.groupBy("domain", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_chars").alias("s"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+    # count_distinct does NOT decompose across salts — it gets its own
+    # (domain, lang)-keyed distinct pass, which DOES decompose
+    langs = (
+        t.select("domain", "lang").distinct()
+        .groupBy("domain").agg(F.count(F.lit(1)).alias("n_langs"))
+    )
+    merged = stage1.groupBy("domain").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("s").alias("chars_total"),
+        F.min("mn").alias("chars_min"),
+        F.max("mx").alias("chars_max"),
+    )
+    return merged.join(langs, "domain").select(
+        "domain", "n_docs", "chars_total", "chars_min", "chars_max",
+        F.col("n_langs").cast("long").alias("n_langs"),
+    )
+
+
+ORACLE_DOMAIN_ROLLUP = """
+SELECT source || '.example.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(min(n_chars) AS BIGINT) AS chars_min,
+       CAST(max(n_chars) AS BIGINT) AS chars_max,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -3051,6 +3106,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
     "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
     "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
+    "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
