@@ -71,17 +71,20 @@ def synth_url(doc_id: Column, source: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
 
 
+def _keep_param(p: Column) -> Column:
+    cond = p != ""
+    for prefix in TRACKING_PREFIXES:
+        cond = cond & ~p.startswith(prefix)
+    return cond
+
+
 def _canon_query(url: Column) -> Column:
-    """Filtered + sorted query string ('' when nothing survives)."""
+    """Filtered + sorted query string ('' when nothing survives). The
+    filter predicate is built from TRACKING_PREFIXES so extending the
+    list changes the engine and (via the regenerated oracle constant)
+    both sides together."""
     raw = F.regexp_extract(F.regexp_extract(url, RE_REST, 1), RE_QUERY, 1)
-    keep = F.filter(
-        F.split(raw, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~p.startswith("gclid=")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("ref="),
-    )
+    keep = F.filter(F.split(raw, "&"), _keep_param)
     return F.concat_ws("&", F.array_sort(keep))
 
 

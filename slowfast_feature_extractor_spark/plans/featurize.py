@@ -49,10 +49,18 @@ def auto_chunk_decision(
     else ``None`` (the plain plan is ~2.7× cheaper on uniform corpora —
     carry overhead buys nothing when every entity fits a task).
 
-    Cost: one column-pruned count aggregation over ``entity`` (a
+    Cost: zero Spark jobs when the parquet footers already bound the
+    TOTAL row count below ``threshold`` (no entity can then exceed it —
+    the fast path that keeps plan composition / EXPLAIN lazy at fixture
+    scale), else one column-pruned count aggregation over ``entity`` (a
     map-side-combined groupBy of the single key column). At production
     scale prefer passing ``chunk_trunc`` explicitly or wiring table
     statistics; this sketch is the automatic default."""
+    from slowfast_feature_extractor_spark.operators.similarity import _estimate_rows
+
+    est = _estimate_rows(df)
+    if est is not None and est < threshold:
+        return None
     hot = (
         df.select(entity)
         .groupBy(entity)

@@ -1765,6 +1765,52 @@ FROM p
 """
 
 
+def _run_available_now(stream_df, base: str) -> str:
+    """Run a streaming relation to completion under availableNow into a
+    parquet sink; returns the sink path. Raises if the query does not
+    finish inside the timeout (awaitTermination returns False rather
+    than raising — falling through would hand the caller a partially
+    written sink and a baffling hash mismatch). The staging source and
+    checkpoint are deleted afterwards; the sink must outlive this call
+    because the returned relation reads it lazily."""
+    import os
+    import shutil
+
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError(
+                "availableNow streaming query did not finish within 600 s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    for sub in os.listdir(base):  # keep only the sink
+        if sub != "out":
+            shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
+    return out
+
+
+def _stage_stream_file(df, src: str, base: str, name: str) -> None:
+    """Write ``df`` as a single parquet file ``name`` inside the
+    file-stream source dir (the source tracks filenames, so each staged
+    batch needs a fresh name)."""
+    import os
+    import shutil
+
+    tmp = os.path.join(base, f"tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+
 def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 driver-checkable: the STREAMING sessionizer
     (streaming/sessionize_stream.py, applyInPandasWithState + event-time
@@ -1783,7 +1829,6 @@ def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout fires for them either. Integer cents measures keep the sums
     order-insensitive (exact parity with SQL aggregation)."""
     import os
-    import shutil
     import tempfile
 
     from slowfast_feature_extractor_spark.streaming.sessionize_stream import (
@@ -1799,12 +1844,6 @@ def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
 
-    def _stage(df, name: str) -> None:
-        tmp = os.path.join(base, f"tmp_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
-
     max_ts = ev.agg(F.max("ts")).first()[0]  # driver scalar (metadata-scale)
     sentinel = (
         ev.select("user_id")
@@ -1812,8 +1851,8 @@ def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 2 HOURS"))
         .withColumn("value", F.lit(0.0))
     )
-    _stage(ev, "00-events")
-    _stage(sentinel, "01-sentinel")
+    _stage_stream_file(ev, src, base, "00-events")
+    _stage_stream_file(sentinel, src, base, "01-sentinel")
 
     stream = (
         spark.readStream.schema("user_id string, ts timestamp, value double")
@@ -1824,15 +1863,7 @@ def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, entity="user_id", ts="ts", measure="value",
         gap_seconds=1800.0, watermark="1 second",
     )
-    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    q = (
-        sess.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    out = _run_available_now(sess, base)
     return spark.read.parquet(out).select(
         F.col("user_id").cast("long").alias("user_id"),
         "session_start",
@@ -1875,7 +1906,6 @@ def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the skip-if-done resume predicate
     (reference/test_net.py:60-75) as a continuous stream."""
     import os
-    import shutil
     import tempfile
 
     d = _docs(spark, sf_dir).select(
@@ -1890,16 +1920,10 @@ def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
 
-    def _stage(df, name: str) -> None:
-        tmp = os.path.join(base, f"tmp_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
-
-    _stage(d, "00-crawl")
-    _stage(
+    _stage_stream_file(d, src, base, "00-crawl")
+    _stage_stream_file(
         d.withColumn("ts", F.col("ts") + F.expr("INTERVAL 120 SECONDS")),
-        "01-recrawl",
+        src, base, "01-recrawl",
     )
     stream = (
         spark.readStream.schema("h string, n_chars long, ts timestamp")
@@ -1911,15 +1935,7 @@ def q_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["h"])
         .select("h", "n_chars")
     )
-    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    out = _run_available_now(deduped, base)
     return spark.read.parquet(out).select("h", "n_chars")
 
 
@@ -2376,6 +2392,12 @@ _SYNTH_URL_SQL = """
   || (CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END)
 """
 
+# single source of truth: the oracle's tracking filter is generated
+# from the same prefix list the engine's Column predicate uses
+_TRACK_SQL = " AND ".join(
+    f"NOT starts_with(x, '{p}')" for p in UT.TRACKING_PREFIXES
+)
+
 ORACLE_URL_CANONICALIZE = f"""
 WITH u AS (
   SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
@@ -2393,9 +2415,7 @@ WITH u AS (
          regexp_extract(rest, '^([^?]*)', 1) AS path,
          coalesce(array_to_string(list_sort(list_filter(
              string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
-             x -> x <> '' AND NOT starts_with(x, 'utm_')
-                  AND NOT starts_with(x, 'gclid=') AND NOT starts_with(x, 'fbclid=')
-                  AND NOT starts_with(x, 'ref='))), '&'), '') AS cq
+             x -> x <> '' AND {_TRACK_SQL})), '&'), '') AS cq
   FROM p
 )
 SELECT doc_id, url,
