@@ -3104,6 +3104,89 @@ FROM documents GROUP BY source
 """
 
 
+def q_dual_rate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver-checkable: the STREAMING dual-rate PIT featurizer
+    (streaming/dual_rate_stream.py, applyInPandasWithState with bounded
+    per-entity state) replayed under availableNow and hashed against a
+    batch trailing-window oracle — the last streaming operator family
+    that had only pytest parity.
+
+    Replay shape: events get a synthetic strictly-increasing per-user
+    timestamp (base + row_number seconds — unique, so arrival order is
+    deterministic and the oracle's ORDER BY reproduces it exactly) and
+    stream as ONE file/micro-batch. Every row is featurized against
+    state BEFORE being appended (strictly-earlier inputs only — the
+    zero-leakage rule in flight), so the emitted features equal the
+    batch ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING`` windows. The
+    measure is integer cents carried in doubles, so both engines
+    compute exact-integer sums divided once — bit-identical averages."""
+    import os
+    import tempfile
+
+    from slowfast_feature_extractor_spark.streaming.dual_rate_stream import (
+        streaming_dual_rate,
+    )
+
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.row_number().over(w).cast("double"))
+        ).alias("ts"),
+        F.col("value_cents").cast("double").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix="sfe_drstream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _stage_stream_file(staged, src, base, "00-events")
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    feats = streaming_dual_rate(
+        stream, entity="user_id", ts="ts", measure="value",
+        fast_rows=8, slow_rows=64, watermark="10 seconds",
+    )
+    out = _run_available_now(feats, base)
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.round("fast_avg", 6).alias("fast_avg"),
+        "fast_cnt",
+        F.round("slow_avg", 6).alias("slow_avg"),
+        "slow_cnt",
+        "n_hist_rows",
+    )
+
+
+ORACLE_DUAL_RATE_STREAMED = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+staged AS (
+  SELECT user_id,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + to_seconds(CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)) AS ts,
+         CAST(value_cents AS DOUBLE) AS value
+  FROM ev
+)
+SELECT user_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), 6) AS fast_avg,
+       CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS BIGINT) AS fast_cnt,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING), 6) AS slow_avg,
+       CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS BIGINT) AS slow_cnt,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT)
+           AS n_hist_rows
+FROM staged
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -3127,6 +3210,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
     "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
     "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
+    "dual_rate_streamed": (q_dual_rate_streamed, ORACLE_DUAL_RATE_STREAMED),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
