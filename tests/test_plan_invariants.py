@@ -31,6 +31,7 @@ _EXECUTES_IN_BUILDER = {
     "manifest_scan",        # writes + re-reads a CSV manifest
     "sessionize_streamed",  # runs an availableNow streaming query
     "dedup_streamed",       # runs an availableNow streaming query
+    "dual_rate_streamed",   # runs an availableNow streaming query
     "dedup_clusters",       # iterative label propagation (count per round)
     "knn_ivf",              # kmeans fit collects sampled centroids
     "knn_ivf_fullprobe",
