@@ -3187,6 +3187,61 @@ FROM staged
 """
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diffing — the incremental-ingest companion to
+    ``dedup_incremental``: two deterministic snapshots of the corpus
+    (A = docs except ids ≡ 1 mod 7; B = docs except ids ≡ 2 mod 7, with
+    ids ≡ 0 mod 5 "re-crawled" to changed content) are compared by url
+    key into added / removed / changed / unchanged. One full-outer join
+    on the key with hash comparison — at 10^12 rows this is the
+    bucketed-join shape (both snapshots partition by the same url key;
+    with Iceberg bucket layout the shuffle disappears entirely).
+    Aggregated per (status, lang) so the row stays compact."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 7 != 1).select(
+        "doc_id", "lang", F.md5("text").alias("h_a")
+    )
+    b = d.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.lit("v2:"), F.col("text")))
+        ).otherwise(F.md5("text")).alias("h_b"),
+    )
+    j = a.join(b, ["doc_id", "lang"], "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), "lang")
+        .groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_CRAWL_DIFF = """
+WITH a AS (
+  SELECT doc_id, lang, md5(text) AS h_a FROM documents WHERE doc_id % 7 <> 1
+), b AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN md5('v2:' || text)
+              ELSE md5(text) END AS h_b
+  FROM documents WHERE doc_id % 7 <> 2
+)
+SELECT CASE WHEN a.h_a IS NULL THEN 'added'
+            WHEN b.h_b IS NULL THEN 'removed'
+            WHEN a.h_a <> b.h_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COALESCE(a.lang, b.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.lang = b.lang
+GROUP BY 1, 2
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r4: the 11
@@ -3211,6 +3266,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
     "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
     "dual_rate_streamed": (q_dual_rate_streamed, ORACLE_DUAL_RATE_STREAMED),
+    "crawl_diff": (q_crawl_diff, ORACLE_CRAWL_DIFF),
     "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
     # --- last green in r2 (outside r3's 50-row cap) ---
