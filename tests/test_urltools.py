@@ -240,3 +240,53 @@ def test_dedup_incremental_plants_exact_and_near(spark, tmp_path):
     assert got[9] in ("near", "exact")  # banding admits it as near
     assert got[9] == "near"
     assert got[18] == "unique"
+
+
+def test_canonicalize_randomized_urls(spark):
+    """Property sweep over 400 randomized messy URLs (seeded): the
+    canonical form is idempotent, tracking-free, fragment-free, and
+    starts with lowercase scheme://lowercase host — beyond the shapes
+    synth_url emits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions import urltools as UT
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Ex.COM", "www.ex.com", "WWW.a.B.example.ORG", "x-y.net", "ex.com"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/A/b", "/A/b/", "/p//", "/%7Euser/x"]
+    params = ["id=9", "b=2", "utm_source=a", "utm_campaign=x", "ref=rss",
+              "gclid=1", "fbclid=2", "q=a+b", "z="]
+    frags = ["", "#f", "#sec-2"]
+    urls = []
+    for _ in range(400):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + (("?" + q) if q else "") + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = df.select(
+        "url",
+        UT.canonicalize_url(F.col("url")).alias("c1"),
+    ).select(
+        "url", "c1", UT.canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in got:
+        c = r["c1"]
+        assert c == r["c2"], f"not idempotent: {r['url']} -> {c} -> {r['c2']}"
+        assert c.startswith(("http://", "https://")), (r["url"], c)
+        assert "#" not in c, (r["url"], c)
+        for t in ("utm_", "ref=", "gclid=", "fbclid="):
+            assert ("?" + t) not in c and ("&" + t) not in c, (r["url"], c)
+        host = c.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0]
+        assert host == host.lower() and not host.startswith("www."), (r["url"], c)
+        hostport = c.split("://", 1)[1].split("/", 1)[0]
+        port = hostport.split(":", 1)[1] if ":" in hostport else ""
+        if c.startswith("http://"):
+            assert port != "80", (r["url"], c)
+        if c.startswith("https://"):
+            assert port != "443", (r["url"], c)
