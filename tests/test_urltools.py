@@ -290,3 +290,38 @@ def test_canonicalize_randomized_urls(spark):
             assert port != "80", (r["url"], c)
         if c.startswith("https://"):
             assert port != "443", (r["url"], c)
+
+
+def test_sequence_pack_edge_corpus_parity(spark, tmp_path):
+    """Oracle parity on a corpus the fixtures don't cover: empty docs
+    (0 tokens), single-word docs, and a doc far larger than the
+    512-token budget (spans many sequences)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.compare import compare
+    from slowfast_feature_extractor_spark.plans.queries import REGISTRY
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "",                        # 0 tokens
+                "one",                     # 1 token
+                " ",                       # whitespace only -> 0 tokens
+                "a b c",                  
+                "w " * 2000,               # 2000 tokens: spans ~4 sequences
+                "x y",
+                "",                        # another empty
+                "z " * 600,                # straddles a boundary
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    fn, sql = REGISTRY["sequence_pack"]
+    ok, msg = compare(spark, str(tmp_path), fn, sql)
+    assert ok, msg
+    rows = fn(spark, str(tmp_path)).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert total == 0 + 1 + 0 + 3 + 2000 + 2 + 0 + 600
+    big = next(r for r in rows if r["n_tokens"] == 2000)
+    assert big["seq_end"] - big["seq_start"] >= 3  # spans many chunks
