@@ -345,6 +345,14 @@ def decode_jpeg(data: bytes):
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                # a valid baseline JPEG may carry each SOF component in
+                # its own scan (ns < nc); decoding only the first scan
+                # would silently return grayscale pixels for a color
+                # image — refuse instead (ADVICE r4)
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG unsupported"
+                )
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cid)

@@ -2460,20 +2460,24 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_b = bc.groupBy("doc_id").agg(
         F.sum("c").alias("btot"), F.max("c").alias("bmx")
     )
-    tot = F.col("n_words").cast("double")
+    # fractions reported in exact parts-per-million via INTEGER floor
+    # division: round(j/n, 6) on a genuinely inexact double can differ
+    # between Spark (BigDecimal HALF_UP on the binary value) and the
+    # oracle on boundary ties like 1/640 = 0.0015625 (ADVICE r4);
+    # j*1000000 div n is bit-identical in every engine
     return (
         per_w.join(per_b, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
             "n_distinct",
-            F.round((F.col("n_words") - F.col("n_distinct")) / tot, 6).alias(
-                "dup_word_frac"
-            ),
-            F.round(F.col("mx") / tot, 6).alias("top_word_frac"),
-            F.round(
-                F.coalesce(F.col("bmx") / F.col("btot").cast("double"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
+            F.expr(
+                "CAST((n_words - n_distinct) * 1000000 DIV n_words AS BIGINT)"
+            ).alias("dup_word_ppm"),
+            F.expr("CAST(mx * 1000000 DIV n_words AS BIGINT)").alias("top_word_ppm"),
+            F.coalesce(
+                F.expr("CAST(bmx * 1000000 DIV btot AS BIGINT)"), F.lit(0).cast("long")
+            ).alias("top_bigram_ppm"),
         )
     )
 
@@ -2500,9 +2504,9 @@ WITH t AS (
   FROM bc GROUP BY doc_id
 )
 SELECT w.doc_id, w.n_words, w.n_distinct,
-       round((w.n_words - w.n_distinct) * 1.0 / w.n_words, 6) AS dup_word_frac,
-       round(w.mx * 1.0 / w.n_words, 6) AS top_word_frac,
-       round(coalesce(b.bmx * 1.0 / b.btot, 0.0), 6) AS top_bigram_frac
+       CAST((w.n_words - w.n_distinct) * 1000000 // w.n_words AS BIGINT) AS dup_word_ppm,
+       CAST(w.mx * 1000000 // w.n_words AS BIGINT) AS top_word_ppm,
+       CAST(coalesce(b.bmx * 1000000 // b.btot, 0) AS BIGINT) AS top_bigram_ppm
 FROM per_w w LEFT JOIN per_b b ON w.doc_id = b.doc_id
 """
 
@@ -2837,6 +2841,13 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.log10("cnt")).alias("sum_log"),
         )
     )
+    # boundary-tie risk, documented (ADVICE r4): a sum of log10 terms is
+    # genuinely inexact, so round(x, 6) COULD disagree between engines
+    # when x lands exactly on a 5 in the 7th decimal. Unlike the ratio
+    # rows (doc_repetition, now integer-ppm) there is no exact integer
+    # re-expression of a log sum; the fixed fixture is deterministic and
+    # green, and a flake here on a regenerated corpus indicts the
+    # rounding boundary, not the operator.
     return per_doc.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "n_tokens",
