@@ -771,11 +771,9 @@ def frame_sample(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def sample(b: bytes, k: int) -> list[bytes]:
             frames = [b[i:i + frame_bytes] for i in range(0, len(b), frame_bytes)] or [b""]
-            stride = max(1, len(frames) // k)
-            picked = frames[::stride][:k]
-            while len(picked) < k:  # pad-repeat-last (test_net.py:126-136)
-                picked.append(picked[-1])
-            return picked
+            # shared stride sampler (pad-repeat-last, test_net.py:126-136)
+            # — identical source indices to video_features' real decode
+            return [frames[i] for i in sample_indices(len(frames), k)]
 
         for pdf in it:
             rows = {"doc_id": [], "pathway": [], "frame_idx": [], "frame_md5": []}
@@ -800,12 +798,203 @@ def frame_sample(
 
 
 def resize_stub(data: bytes, out_w: int, out_h: int):  # pragma: no cover - stub
-    """Resize over video/subsampled-JPEG bytes needs a production codec
-    to decode first (cv2.resize in the reference,
-    reference/datasets/videoset.py:91-95). For stdlib-decodable
-    BMP/PNG/baseline-JPEG the real path is
-    ``resize_nearest(decode_image(data)["pixels"], w, h)``."""
-    raise NotImplementedError("video codec not available in this environment")
+    """Resize over non-MJPEG video / subsampled-JPEG bytes needs a
+    production codec to decode first (cv2.resize in the reference,
+    reference/datasets/videoset.py:91-95). The stdlib-decodable paths
+    are real: ``resize_nearest(decode_image(data)["pixels"], w, h)``
+    for BMP/PNG/baseline-JPEG stills, and
+    ``decode_avi(data)["frames"]`` → ``decode_jpeg`` → resize for
+    MJPEG-in-AVI video."""
+    raise NotImplementedError(
+        "non-MJPEG video codecs not available in this environment"
+    )
+
+
+# ------------------------------------------------------------- video (AVI)
+
+
+def synth_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Serialize per-frame JPEG blobs into a REAL RIFF/AVI MJPEG
+    container: RIFF('AVI ' LIST(hdrl: avih + LIST(strl: strh('vids',
+    'MJPG') + strf(BITMAPINFOHEADER))) + LIST(movi: '00dc' chunks,
+    word-aligned) + idx1). This is the container layout every AVI
+    reader walks (the reference ingests videos through such container
+    parsing inside cv2.VideoCapture, reference/datasets/videoset.py:
+    72-103); the synthetic AVIs exercise the engine's parser
+    byte-for-byte."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    usec = int(round(1_000_000 / fps))
+    buf_sz = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", usec, buf_sz * fps, 0, 0x10, len(frames), 0, 1, buf_sz,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHH8I4H", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      buf_sz, 0xFFFFFFFF, 0, 0, 0, width, height)
+    )
+    strf = (
+        struct.pack("<IiiHH", 40, width, height, 1, 24)
+        + b"MJPG"
+        + struct.pack("<iiIII", width * height * 3, 0, 0, 0, 0)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b""
+    offsets = []
+    for f in frames:
+        offsets.append(4 + len(movi_payload))  # from the 'movi' fourcc
+        movi_payload += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_payload)
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        for off, f in zip(offsets, frames)
+    )
+    payload = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_avi(data: bytes) -> dict:
+    """REAL RIFF/AVI container parse via stdlib ``struct``: validates
+    the RIFF/'AVI ' signature, reads stream geometry from the ``avih``
+    main header (frame period, frame count, width, height), and walks
+    the ``movi`` list collecting compressed video chunks ('00dc'/'00db',
+    honoring word-alignment pad bytes). Returns dict(width, height,
+    n_frames, fps, frames=[jpeg bytes, ...]). Only the container is
+    parsed here — per-frame pixel decode is :func:`decode_jpeg`
+    (MJPEG = a baseline JPEG per frame). Non-MJPEG codecs raise
+    NotImplementedError. Reference analog: cv2.VideoCapture's demux +
+    per-frame decode, reference/datasets/videoset.py:72-103."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    width = height = n_frames = None
+    fps = None
+    codec = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        nonlocal width, height, n_frames, fps, codec
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            ln = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                kind = buf[body : body + 4]
+                walk(buf, body + 4, body + ln, in_movi or kind == b"movi")
+            elif fourcc == b"avih":
+                usec, _, _, _, nf = struct.unpack_from("<5I", buf, body)
+                n_frames = nf
+                fps = round(1_000_000 / usec, 3) if usec else None
+                width, height = struct.unpack_from("<II", buf, body + 32)
+            elif fourcc == b"strh":
+                if buf[body : body + 4] == b"vids":
+                    codec = buf[body + 4 : body + 8]
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[body : body + ln])
+            pos = body + ln + (ln & 1)  # chunks are word-aligned
+
+    walk(data, 12, 12 + struct.unpack_from("<I", data, 4)[0] - 4, False)
+    if width is None or n_frames is None:
+        raise ValueError("AVI missing avih main header")
+    if codec is not None and codec not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"video codec {codec!r} unsupported (MJPEG only)"
+        )
+    if n_frames != len(frames):
+        raise ValueError(
+            f"AVI header declares {n_frames} frames, movi holds {len(frames)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "fps": fps,
+        "frames": frames,
+    }
+
+
+def sample_indices(n: int, k: int) -> list[int]:
+    """The dual-rate stride sampler's source-frame indices: stride =
+    max(1, n // k), every stride-th frame, truncate to k, pad-repeat-
+    last when short (reference/test_net.py:62-74 + 126-136). Shared by
+    :func:`frame_sample` (byte-slice frames) and :func:`video_features`
+    (real decoded frames) so the two paths sample identically."""
+    stride = max(1, n // k)
+    picked = list(range(0, n, stride))[:k]
+    while len(picked) < k:
+        picked.append(picked[-1])
+    return picked
+
+
+def video_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    num_frames: int = 8,
+    alpha: int = 4,
+) -> DataFrame:
+    """REAL video decode → dual-rate frame sampling → per-frame channel
+    sums, Arrow-batched: parse the AVI container (:func:`decode_avi`),
+    pick fast = ``num_frames`` evenly-strided frames and slow =
+    ``num_frames/alpha`` frames (the reference's SlowFast sampling,
+    reference/test_net.py:62-74), decode each SAMPLED frame's JPEG
+    (:func:`decode_jpeg` — only sampled frames pay the pixel decode,
+    exactly the reference's frame-seek discipline), and emit one row
+    per (doc, pathway, frame_idx) with the frame's exact integer RGB
+    sums. Undecodable blobs yield a single null row (P9 guard)."""
+    import numpy as np
+
+    val_cols = ["pathway", "frame_idx", "src_frame", "width", "height",
+                "bpp", "sum_r", "sum_g", "sum_b"]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in ["doc_id", *val_cols]}
+
+            def emit(doc_id, **kv):
+                rows["doc_id"].append(doc_id)
+                for c in val_cols:
+                    rows[c].append(kv.get(c))
+
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    v = decode_avi(bytes(b))
+                    decoded: dict[int, dict] = {}
+                    for pathway, k in (("fast", num_frames),
+                                       ("slow", num_frames // alpha)):
+                        for j, src in enumerate(sample_indices(v["n_frames"], k)):
+                            if src not in decoded:
+                                decoded[src] = decode_jpeg(v["frames"][src])
+                            d = decoded[src]
+                            px = d["pixels"].astype(np.int64)
+                            emit(
+                                i, pathway=pathway, frame_idx=j, src_frame=src,
+                                width=d["width"], height=d["height"], bpp=d["bpp"],
+                                sum_r=int(px[:, :, 0].sum()),
+                                sum_g=int(px[:, :, 1].sum()),
+                                sum_b=int(px[:, :, 2].sum()),
+                            )
+                except Exception:
+                    emit(i)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, pathway string, frame_idx int, src_frame int, "
+        "width int, height int, bpp int, sum_r long, sum_g long, sum_b long"
+    )
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        _batches, schema=schema
+    )
 
 
 def media_meta(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:

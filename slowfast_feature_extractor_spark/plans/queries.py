@@ -2097,6 +2097,86 @@ FROM p
 """
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, stdlib-only — S2 made literal (the reference's
+    primary input modality, reference/datasets/videoset.py:72-103): per
+    document an MJPEG-in-AVI container is synthesized (2..8 frames,
+    each frame a baseline JPEG of flat 8x8 blocks whose luma depends on
+    doc AND frame index; every 4th document grayscale), then the engine
+    parses the RIFF/AVI container (operators/multimodal.decode_avi),
+    dual-rate samples frames (fast = 4 strided, slow = 1 — the SlowFast
+    discipline, reference/test_net.py:62-74), and JPEG-decodes ONLY the
+    sampled frames (decode_jpeg) into exact integer channel sums. The
+    oracle recomputes container geometry, stride sampling, and pixel
+    sums analytically — a container-parse, frame-seek, Huffman, IDCT or
+    color-convert bug breaks the hash."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        synth_avi,
+        synth_jpeg,
+        video_features,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "video": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 8 * (1 + doc_id % 3), 8 * (1 + tlen % 2)
+                n = 2 + doc_id % 7
+                frames = []
+                for fi in range(n):
+                    def bf(bx, by, doc_id=doc_id, fi=fi):
+                        return ((doc_id * 7 + fi * 17 + by * 31 + bx * 13) % 256,
+                                128, 128)
+
+                    frames.append(synth_jpeg(w, h, bf, gray=(doc_id % 4 == 0)))
+                out["doc_id"].append(doc_id)
+                out["video"].append(synth_avi(frames, w, h, fps=10))
+            yield pd.DataFrame(out)
+
+    vid = d.mapInPandas(_synth, schema="doc_id long, video binary")
+    return video_features(vid, media_col="video", id_col="doc_id",
+                          num_frames=4, alpha=4)
+
+
+def _mm_video_oracle() -> str:
+    # pixel(x, y, src) = (doc_id*7 + src*17 + (y//8)*31 + (x//8)*13) % 256
+    # on all three channels (neutral chroma / grayscale -> R = G = B)
+    sums = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        "(doc_id * 7 + src_frame * 17 + ((t // w) // 8) * 31"
+        f" + ((t % w) // 8) * 13) % 256)) AS BIGINT) AS sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + length(text) % 2) AS h,
+         2 + doc_id % 7 AS n
+  FROM documents
+), pw AS (
+  SELECT * FROM (VALUES ('fast', 4), ('slow', 1)) AS t(pathway, k)
+), js AS (SELECT unnest(range(0, 4)) AS j),
+fr AS (
+  SELECT doc_id, w, h, n, pathway, CAST(js.j AS INT) AS frame_idx,
+         GREATEST(1, n // k) AS stride,
+         LEAST(k, (n + GREATEST(1, n // k) - 1) // GREATEST(1, n // k)) AS m
+  FROM p CROSS JOIN pw CROSS JOIN js
+  WHERE js.j < pw.k
+)
+SELECT doc_id, pathway, frame_idx, src_frame,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 24 END AS INT) AS bpp,
+       {sums}
+FROM (SELECT *, CAST(stride * LEAST(frame_idx, m - 1) AS INT) AS src_frame FROM fr)
+"""
+
+
 def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 CSV manifest round-trip (the reference builds its work list
     from a CSV of clip paths, reference/datasets/videoset.py:21-36 +
@@ -3261,6 +3341,8 @@ GROUP BY 1, 2
 # immediately-previous round, so the union of any two consecutive rounds
 # covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new in r5 (never driver-verified) ---
+    "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
     # --- new in r4 (never driver-verified) ---
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),

@@ -345,3 +345,76 @@ def test_decode_jpeg_rejects_unsupported_modes():
     blob[sof + 11] = 0x22  # 4:2:0 sampling factors on component 1
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+
+
+def test_avi_roundtrip_frames_byte_exact():
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_avi,
+        synth_avi,
+        synth_jpeg,
+    )
+
+    frames = [
+        synth_jpeg(16, 8, lambda bx, by, f=f: ((f * 17 + by * 31 + bx * 13) % 256,
+                                               128, 128))
+        for f in range(5)
+    ]
+    v = decode_avi(synth_avi(frames, 16, 8, fps=25))
+    assert (v["width"], v["height"], v["n_frames"], v["fps"]) == (16, 8, 5, 25.0)
+    assert v["frames"] == frames  # byte-identical through the container
+
+
+def test_avi_rejects_non_mjpeg_and_garbage():
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_avi,
+        synth_avi,
+        synth_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_avi(b"\x00" * 64)
+    blob = bytearray(synth_avi([synth_jpeg(8, 8, lambda bx, by: (1, 128, 128))], 8, 8))
+    i = blob.index(b"vidsMJPG")
+    blob[i + 4 : i + 8] = b"H264"
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(blob))
+
+
+def test_video_sampling_parity_with_frame_sample(spark):
+    """The real video path and the byte-slice frame_sample path pick the
+    SAME source frame indices for every (n_frames, pathway): both route
+    through sample_indices."""
+    from slowfast_feature_extractor_spark.operators.multimodal import sample_indices
+
+    for n in range(1, 12):
+        for k in (1, 2, 4, 8):
+            idx = sample_indices(n, k)
+            assert len(idx) == k
+            assert all(0 <= i < n for i in idx)
+            stride = max(1, n // k)
+            m = min(k, -(-n // stride))
+            assert idx == [stride * min(j, m - 1) for j in range(k)]  # oracle formula
+
+
+def test_video_features_null_row_on_corrupt(spark):
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        synth_avi,
+        synth_jpeg,
+        video_features,
+    )
+
+    good = synth_avi([synth_jpeg(8, 8, lambda bx, by: (50, 128, 128))] * 3, 8, 8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "media": [good, b"not an avi"]})
+    )
+    out = video_features(df, num_frames=2, alpha=2).toPandas()
+    ok = out[out.doc_id == 1]
+    assert len(ok) == 3  # 2 fast + 1 slow
+    assert set(ok.pathway) == {"fast", "slow"}
+    assert (ok.width == 8).all() and (ok.sum_r == 50 * 64).all()
+    bad = out[out.doc_id == 2]
+    assert len(bad) == 1 and bad.pathway.isna().all()
