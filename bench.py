@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "pii_redact",
     "lm_unigram_score",
     "dedup_incremental",
+    # reads its persisted corpus index (built once, amortized across
+    # ingests — the production shape); its wall is the per-batch cost
+    "dedup_incremental_indexed",
     "window_dual_rate_chunked",
     "featurize_pages_chunked",
     "dedup_embedding_lsh",

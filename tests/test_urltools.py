@@ -241,6 +241,55 @@ def test_dedup_incremental_plants_exact_and_near(spark, tmp_path):
     assert got[18] == "unique"
 
 
+def test_dedup_incremental_indexed_matches_and_reuses_index(spark, tmp_path):
+    """The persisted-index variant returns the SAME statuses as the
+    recompute-everything variant, builds its parquet index exactly once,
+    and invalidates it when the corpus file changes."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import (
+        build_incremental_index,
+        incremental_index_dir,
+        q_dedup_incremental,
+        q_dedup_incremental_indexed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 8, 9, 18],
+            "text": [
+                base,
+                "one two three four five six seven",
+                "completely different words here now",
+                base,
+                base + " extra tail words changing little",
+                "nothing in common with anything else at all",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    want = {r["doc_id"]: r["status"]
+            for r in q_dedup_incremental(spark, str(tmp_path)).collect()}
+    got = {r["doc_id"]: r["status"]
+           for r in q_dedup_incremental_indexed(spark, str(tmp_path)).collect()}
+    assert got == want
+
+    idx = incremental_index_dir(str(tmp_path))
+    mtime = os.path.getmtime(idx)
+    assert build_incremental_index(spark, str(tmp_path)) == idx
+    assert os.path.getmtime(idx) == mtime  # second call reused, not rebuilt
+
+    # corpus regenerated (mtime/size change) -> a DIFFERENT index path,
+    # so stale signatures can never serve a new corpus
+    time.sleep(1.1)
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    assert incremental_index_dir(str(tmp_path)) != idx
+
+
 def test_canonicalize_randomized_urls(spark):
     """Property sweep over 400 randomized messy URLs (seeded): the
     canonical form is idempotent, tracking-free, fragment-free, and
