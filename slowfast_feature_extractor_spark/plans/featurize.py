@@ -39,36 +39,117 @@ from slowfast_feature_extractor_spark.operators.windows import dual_rate_feature
 _CHUNK_TRUNCS = ("day", "week", "month", "year")
 
 
+def _plan_is_bare_scan(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains no row-MULTIPLYING
+    node — no Join, Generate (explode), or Union. Parquet footer totals
+    are a valid upper bound on the row count only then: joins multiply
+    rows, explodes fan out, and ``inputFiles()`` deduplicates a
+    self-union's files so footers under-count it (ADVICE r4). Filters /
+    projections only shrink the count, so the footer bound stays
+    conservative through them."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not re.search(r"\b(Join|Generate|Union)\b", plan)
+
+
+def _hot_entity_sketch(
+    df: DataFrame, entity: str, total: int, sample_rows: int = 200_000
+) -> float | None:
+    """DRIVER-side hot-entity estimate with ZERO Spark jobs: read the
+    ``entity`` column of parquet row groups spread evenly across the
+    scan's files (pyarrow, footers + a bounded number of column chunks),
+    then scale the sample's max multiplicity by total/sampled. A hot
+    entity at the chunking threshold occupies a visible fraction of any
+    evenly-spread sample; a miss merely keeps the plain plan (both plans
+    are value-exact, so the decision is performance-only)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = [
+            f[7:] if f.startswith("file://") else f for f in df.inputFiles()
+        ]
+        if not files or not all(f.endswith(".parquet") or "/" in f for f in files):
+            return None
+        # one pass over footers to lay out (file, row_group) units
+        units: list[tuple[str, int]] = []
+        for path in files:
+            meta = pq.ParquetFile(path).metadata
+            units.extend((path, i) for i in range(meta.num_row_groups))
+        if not units:
+            return None
+        from collections import Counter
+
+        counts: Counter = Counter()
+        sampled = 0
+        # deterministic even spread: every k-th row group
+        stride = max(1, len(units) // 64)
+        for path, rg in units[::stride]:
+            col = pq.ParquetFile(path).read_row_group(rg, columns=[entity])
+            vals = col.column(0).to_pylist()
+            counts.update(vals)
+            sampled += len(vals)
+            if sampled >= sample_rows:
+                break
+        if not sampled:
+            return None
+        return counts.most_common(1)[0][1] * (total / sampled)
+    except Exception:
+        return None
+
+
+_EAGER_DECISION_CACHE: dict[int, str | None] = {}
+
+
 def auto_chunk_decision(
     df: DataFrame, entity: str = "url", threshold: int = 50_000
 ) -> str | None:
-    """Count-based chooser between the plain and chunked temporal plans
-    (VERDICT r3 #6): ``"day"`` when the hottest entity holds at least
-    ``threshold`` rows (one task would otherwise serialize its whole
-    history — the regime where chunking bought 2.1×/4× in BENCH/SKEW.md),
-    else ``None`` (the plain plan is ~2.7× cheaper on uniform corpora —
-    carry overhead buys nothing when every entity fits a task).
+    """Chooser between the plain and chunked temporal plans (VERDICT r3
+    #6): ``"day"`` when the hottest entity holds at least ``threshold``
+    rows (one task would otherwise serialize its whole history — the
+    regime where chunking bought 2.1×/4× in BENCH/SKEW.md), else
+    ``None`` (the plain plan is ~2.7× cheaper on uniform corpora).
 
-    Cost: zero Spark jobs when the parquet footers already bound the
-    TOTAL row count below ``threshold`` (no entity can then exceed it —
-    the fast path that keeps plan composition / EXPLAIN lazy at fixture
-    scale), else one column-pruned count aggregation over ``entity`` (a
-    map-side-combined groupBy of the single key column). At production
-    scale prefer passing ``chunk_trunc`` explicitly or wiring table
-    statistics; this sketch is the automatic default."""
+    Cost discipline (VERDICT r4 #6): for a BARE SCAN (no Join/Generate/
+    Union — the flagship's input shape) the decision runs ZERO Spark
+    jobs at ANY input size: parquet footers bound the total below
+    ``threshold``, else a driver-side pyarrow row-group sample estimates
+    the hot entity (:func:`_hot_entity_sketch`). Composing a plan never
+    silently executes a corpus scan. For composed plans (footers can
+    under-count a join/explode/union, ADVICE r4) one exact column-pruned
+    groupBy count runs, memoized on the plan's semantic hash so repeated
+    composition pays once — prefer passing ``chunk_trunc`` explicitly
+    there. Either outcome is value-exact; the choice is performance-only."""
     from slowfast_feature_extractor_spark.operators.similarity import _estimate_rows
 
-    est = _estimate_rows(df)
-    if est is not None and est < threshold:
-        return None
-    hot = (
-        df.select(entity)
-        .groupBy(entity)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.max("__c"))
-        .first()[0]
-    )
-    return "day" if hot is not None and hot >= threshold else None
+    if _plan_is_bare_scan(df):
+        est = _estimate_rows(df)
+        if est is not None:
+            if est < threshold:
+                return None
+            hot = _hot_entity_sketch(df, entity, est)
+            if hot is not None:
+                return "day" if hot >= threshold else None
+    try:
+        plan_key = int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        plan_key = hash(df._jdf.queryExecution().analyzed().toString())
+    key = hash((plan_key, entity, threshold))
+    if key not in _EAGER_DECISION_CACHE:
+        hot = (
+            df.select(entity)
+            .groupBy(entity)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c"))
+            .first()[0]
+        )
+        _EAGER_DECISION_CACHE[key] = (
+            "day" if hot is not None and hot >= threshold else None
+        )
+    return _EAGER_DECISION_CACHE[key]
 
 
 def salted_buckets(

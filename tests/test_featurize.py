@@ -140,3 +140,61 @@ def test_chunked_flagship_rejects_bad_args(pages_df):
         featurize_pages(pages_df, chunk_trunc="hour")
     with pytest.raises(ValueError, match="fast_rows"):
         featurize_pages(pages_df, fast_rows=99, slow_rows=8, chunk_trunc="day")
+
+
+def test_auto_chunk_zero_jobs_on_bare_scan(spark, tmp_path, pages_pd):
+    """VERDICT r4 #6: composing featurize_pages over a parquet SCAN runs
+    ZERO Spark jobs at any input size — below the threshold the footer
+    row bound decides, above it the driver-side pyarrow row-group
+    sketch decides. The eager groupBy is reserved for composed
+    (join/explode/union) inputs, where footers under-count."""
+    from slowfast_feature_extractor_spark.plans.featurize import (
+        _hot_entity_sketch,
+        _plan_is_bare_scan,
+        auto_chunk_decision,
+        featurize_pages,
+    )
+    from slowfast_feature_extractor_spark.sources.pages import pages_spark_schema
+
+    path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pages_pd, schema=pages_spark_schema()).repartition(
+        4
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert _plan_is_bare_scan(df)
+    assert not _plan_is_bare_scan(df.unionByName(df))
+    assert not _plan_is_bare_scan(df.join(df.select("url"), "url"))
+
+    tracker = spark.sparkContext.statusTracker()
+
+    # case 1: footer total below threshold -> plain, zero jobs
+    before = tracker.getJobIdsForGroup(None)
+    out = featurize_pages(df, auto_chunk_threshold=50_000)  # plan only
+    assert tracker.getJobIdsForGroup(None) == before
+    assert "FlatMapGroupsInPandas" not in out._jdf.queryExecution().toString()
+
+    # case 2: total ABOVE threshold, uniform corpus -> the pyarrow
+    # sketch sees no hot entity -> plain, still zero jobs
+    n_rows = len(pages_pd)
+    before = tracker.getJobIdsForGroup(None)
+    assert auto_chunk_decision(df, "url", threshold=n_rows - 1) is None
+    assert tracker.getJobIdsForGroup(None) == before
+
+    # case 3: total above threshold, hot entity holds >= threshold rows
+    # -> sketch flags it -> chunked, zero jobs
+    hot = _hot_entity_sketch(df, "url", n_rows)
+    per_url = pages_pd.groupby("url").size().max()
+    assert hot is not None and hot >= per_url * 0.5
+    before = tracker.getJobIdsForGroup(None)
+    assert auto_chunk_decision(df, "url", threshold=int(per_url)) == "day"
+    assert tracker.getJobIdsForGroup(None) == before
+
+    # composed input: falls back to ONE exact groupBy, memoized
+    joined = df.join(df.select("url").distinct(), "url")
+    before = tracker.getJobIdsForGroup(None)
+    d1 = auto_chunk_decision(joined, "url", threshold=2)
+    after_first = tracker.getJobIdsForGroup(None)
+    assert d1 == "day" and len(after_first) > len(before)
+    d2 = auto_chunk_decision(joined, "url", threshold=2)
+    assert d2 == "day"
+    assert tracker.getJobIdsForGroup(None) == after_first  # memoized
