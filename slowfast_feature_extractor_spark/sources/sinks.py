@@ -8,6 +8,7 @@ identical downstream plans either way."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import partitioning as P
@@ -30,6 +31,44 @@ def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bo
     return impl in _ICEBERG_CATALOG_CLASSES
 
 
+def fp16_pack_udf():
+    """Arrow-batched array<float> → binary fp16 pack (little-endian
+    IEEE 754 half per element) — the engine analog of the reference's
+    ``save_as_float16`` export option (reference/just_test_v1.py:
+    705-711): halves feature-sink bytes at ~1e-3 relative precision.
+    Vectorized numpy astype, never per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pack(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: None
+            if v is None
+            else np.asarray(v, dtype="<f2").tobytes()
+        )
+
+    return _pack
+
+
+def fp16_unpack_udf():
+    """binary fp16 → array<float> (the read-side inverse of
+    :func:`fp16_pack_udf`; values are exactly the fp16-rounded
+    originals)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _unpack(bs: pd.Series) -> pd.Series:
+        return bs.map(
+            lambda b: None
+            if b is None
+            else np.frombuffer(bytes(b), dtype="<f2").astype("float32").tolist()
+        )
+
+    return _unpack
+
+
 def write_features(
     df: DataFrame,
     path: str,
@@ -37,17 +76,21 @@ def write_features(
     entity_col: str = "url",
     buckets: int = 16,
     mode: str = "overwrite",
+    half_precision_cols: tuple[str, ...] = (),
 ) -> None:
-    """Write partitioned by (day, url-hash bucket)."""
-    (
-        df.withColumn("day", F.to_date(F.col(ts_col)))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col(entity_col)), F.lit(buckets)).cast("int")
-        )
-        .write.mode(mode)
-        .partitionBy("day", "bucket")
-        .parquet(path)
+    """Write partitioned by (day, url-hash bucket).
+
+    ``half_precision_cols`` names array<float> columns to store as
+    packed fp16 binary (cast-on-write, reference's save_as_float16
+    analog); :func:`read_features` unpacks them back transparently."""
+    out = df.withColumn("day", F.to_date(F.col(ts_col))).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(entity_col)), F.lit(buckets)).cast("int")
     )
+    if half_precision_cols:
+        pack = fp16_pack_udf()
+        for c in half_precision_cols:
+            out = out.withColumn(c, pack(F.col(c)))
+    out.write.mode(mode).partitionBy("day", "bucket").parquet(path)
 
 
 def feature_table_writer(
@@ -108,12 +151,20 @@ def read_features(
     path: str,
     start_day: str | None = None,
     end_day: str | None = None,
+    half_precision_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read back; day predicates prune partition directories (check
-    `.explain` → PartitionFilters)."""
+    `.explain` → PartitionFilters). ``half_precision_cols`` unpacks
+    fp16-binary columns written by ``write_features(...,
+    half_precision_cols=...)`` back to array<float> AFTER the partition
+    filters (pruning stays scan-level)."""
     df = spark.read.parquet(path)
     if start_day:
         df = df.filter(F.col("day") >= start_day)
     if end_day:
         df = df.filter(F.col("day") < end_day)
+    if half_precision_cols:
+        unpack = fp16_unpack_udf()
+        for c in half_precision_cols:
+            df = df.withColumn(c, unpack(F.col(c)))
     return df

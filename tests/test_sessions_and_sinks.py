@@ -57,3 +57,45 @@ def test_partitioned_sink_prunes(spark, pages_df, tmp_path):
     assert 0 < pruned.count() < allrows.count()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_fp16_sink_roundtrip_allclose(spark, pages_df, tmp_path):
+    """Cast-on-write fp16 export (reference's save_as_float16 analog):
+    vector columns land as packed binary (half the bytes), read back as
+    array<float> allclose to the fp32 originals at fp16 precision."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.plans.featurize import featurize_pages
+    from slowfast_feature_extractor_spark.sources.sinks import (
+        read_features,
+        write_features,
+    )
+
+    feats = featurize_pages(pages_df, fast_rows=4, slow_rows=8, fast_len=4, slow_len=2)
+    vec_cols = ("slow_vec", "fast_vec", "fused_vec")
+    p32 = str(tmp_path / "f32")
+    p16 = str(tmp_path / "f16")
+    write_features(feats, p32, buckets=4)
+    write_features(feats, p16, buckets=4, half_precision_cols=vec_cols)
+
+    raw16 = spark.read.parquet(p16)
+    for c in vec_cols:
+        assert dict(raw16.dtypes)[c] == "binary"  # packed on disk
+    sz = lambda p: sum(
+        f.stat().st_size for f in __import__("pathlib").Path(p).rglob("*.parquet")
+    )
+    assert sz(p16) < sz(p32)  # the point of the option
+
+    back = read_features(spark, p16, half_precision_cols=vec_cols)
+    key = ["url", "warc_ts"]
+    a = feats.select(*key, *vec_cols).toPandas().sort_values(key).reset_index(drop=True)
+    b = back.select(*key, *vec_cols).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in vec_cols:
+        va = np.array(a[c].tolist(), dtype=np.float64)
+        vb = np.array(b[c].tolist(), dtype=np.float64)
+        np.testing.assert_allclose(vb, va, rtol=1e-3, atol=1e-3)
+        # and the stored values are EXACTLY the fp16 rounding of fp32
+        np.testing.assert_array_equal(
+            vb, va.astype(np.float16).astype(np.float64)
+        )
