@@ -3454,68 +3454,16 @@ GROUP BY 1, 2
 
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
-# verified) lead, then rows whose last green round is OLDEST (r4: the 11
-# rows outside r3's cap, green as of r2), then freshly-r3-green rows
-# fill the cap; the overflow at the back is always rows confirmed in the
-# immediately-previous round, so the union of any two consecutive rounds
-# covers every registry key.
+# verified) lead, then rows whose last green round is OLDEST (r5: the 29
+# rows outside r4's cap, green as of r3), then rows whose CODE changed
+# this round plus the flagships fill the cap; the overflow at the back
+# is always rows confirmed in the immediately-previous round, so the
+# union of any two consecutive rounds covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
     "dedup_incremental_indexed": (q_dedup_incremental_indexed, _dedup_incremental_oracle()),
-    # --- new in r4 (never driver-verified) ---
-    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
-    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
-    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
-    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
-    "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
-    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
-    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
-    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
-    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
-    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
-    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
-    "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
-    "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
-    "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
-    "dual_rate_streamed": (q_dual_rate_streamed, ORACLE_DUAL_RATE_STREAMED),
-    "crawl_diff": (q_crawl_diff, ORACLE_CRAWL_DIFF),
-    "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
-    "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
-    # --- last green in r2 (outside r3's 50-row cap) ---
-    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
-    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
-    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
-    "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
-    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
-    "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
-    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
-    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
-    "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
-    "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
-    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
-    # --- r3-green: flagships + operators touched by r4 changes first ---
-    "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
-    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
-    "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
-    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
-    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
-    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
-    "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
-    "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
-    "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
-    "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
-    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
-    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
-    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
-    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
-    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
-    "json_export": (q_json_export, ORACLE_JSON_EXPORT),
-    "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
-    "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
-    "asof_join": (q_asof_join, _oracle_asof(">=")),
+    # --- last green in r3 (outside r4's 50-row cap) ---
     "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
     "asof_join_tolerance": (q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
@@ -3532,7 +3480,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
-    # --- back of the rotation (r3-green; next-oldest after r4 runs) ---
     "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
     "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
     "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
@@ -3546,6 +3493,59 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
+    # --- r4-green rows whose code changed in r5, then flagships ---
+    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
+    "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
+    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
+    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
+    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
+    "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
+    "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
+    "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
+    "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
+    "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
+    "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
+    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
+    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
+    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
+    # --- back of the rotation (r4-green, code unchanged; next-oldest
+    # after the r5 driver run) ---
+    "asof_join": (q_asof_join, _oracle_asof(">=")),
+    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
+    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
+    "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
+    "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
+    "dual_rate_streamed": (q_dual_rate_streamed, ORACLE_DUAL_RATE_STREAMED),
+    "crawl_diff": (q_crawl_diff, ORACLE_CRAWL_DIFF),
+    "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
+    "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
+    "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
+    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
+    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
+    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
+    "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
+    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
+    "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
+    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
+    "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
+    "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
+    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
+    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
+    "json_export": (q_json_export, ORACLE_JSON_EXPORT),
 }
 
 
