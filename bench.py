@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "multimodal_image",
     "multimodal_png",
     "multimodal_jpeg",
+    "multimodal_jpeg_prog",
     "multimodal_video",
     "corpus_clean",
     "url_canonicalize",

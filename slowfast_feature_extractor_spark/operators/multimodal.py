@@ -16,16 +16,19 @@ Two media paths are REAL end-to-end with stdlib-only codecs:
   ``struct`` (BGR order, bottom-up rows, 4-byte padding — pixel
   round-trip tested), compressed PNG with :func:`decode_png`
   (stdlib zlib inflate + full scanline filter reconstruction, types
-  0-4, 8-bit RGB/RGBA), AND baseline JPEG with :func:`decode_jpeg`
-  (marker walk, canonical Huffman entropy decode, dequantize, exact
-  IDCT, JFIF color convert — 4:4:4 and grayscale scans);
-  :func:`resize_nearest` is a real resize kernel, and
+  0-4, 8-bit RGB/RGBA), AND sequential + progressive JPEG with
+  :func:`decode_jpeg` (marker walk, canonical Huffman entropy decode,
+  SOF2 spectral-selection/successive-approximation scans, restart
+  intervals, dequantize, exact IDCT, JFIF color convert — 4:4:4 and
+  grayscale); :func:`resize_nearest` is a real resize kernel, and
   :func:`image_meta` chains decode → resize → channel sums with
   analytic oracles (``multimodal_image``, ``multimodal_png``,
-  ``multimodal_jpeg``).
+  ``multimodal_jpeg``, ``multimodal_jpeg_prog``);
+- video: :func:`decode_avi` parses MJPEG-in-AVI RIFF containers and
+  JPEG-decodes sampled frames (``multimodal_video``).
 
-Subsampled/progressive JPEG and video still need a production codec
-(PIL/cv2 — absent in this container): those raise
+Subsampled-chroma JPEG and non-MJPEG video codecs still need a
+production codec (PIL/cv2 — absent in this container): those raise
 ``NotImplementedError`` while their Spark-side plumbing (schema,
 batching, UDF signature, partitioning) is exercised by
 :func:`media_meta`'s deterministic fake featurizer.
@@ -274,17 +277,220 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_huff_decode(rd: _BitReader, table: dict) -> int:
+    code = ln = 0
+    while ln < 16:
+        code = (code << 1) | rd.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_collect_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes after an SOS up to the next real marker,
+    0xFF00 unstuffed, split into restart segments at RSTn markers."""
+    segments: list[bytes] = []
+    out = bytearray()
+    while pos < len(data):
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                out.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: restart-segment boundary
+                segments.append(bytes(out))
+                out = bytearray()
+                pos += 2
+                continue
+            break
+        out.append(b)
+        pos += 1
+    segments.append(bytes(out))
+    return segments, pos
+
+
+def _jpeg_seq_scan(scan: dict, coef, bw: int, bh: int) -> None:
+    """Sequential (SOF0/SOF1) interleaved scan → zigzag-order int
+    coefficient rows, one per 8x8 block, restart-aware."""
+    segments, ri = scan["segments"], scan["ri"]
+    order = scan["order"]
+    rd = _BitReader(segments[0])
+    seg_i = 0
+    pred = {ci: 0 for ci, _, _ in order}
+    for n in range(bh * bw):
+        if ri and n and n % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            rd = _BitReader(segments[seg_i])
+            pred = {ci: 0 for ci, _, _ in order}
+        for ci, _, _ in order:
+            dctab, actab = scan["dc"][ci], scan["ac"][ci]
+            t = _jpeg_huff_decode(rd, dctab)
+            pred[ci] += _jpeg_extend(rd.receive(t), t)
+            coef[ci][n, 0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(rd, actab)
+                r, s = rs >> 4, rs & 15
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                coef[ci][n, k] = _jpeg_extend(rd.receive(s), s)
+                k += 1
+
+
+def _jpeg_prog_scan(scan: dict, coef, bw: int, bh: int) -> None:
+    """One progressive (SOF2) scan applied to the coefficient buffers:
+    DC first/refine (spectral band 0) or AC first/refine (band Ss..Se
+    with EOB-run coding and successive-approximation correction bits),
+    per T.81 G.1.2 / the libjpeg decode_mcu_* state machines."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    segments, ri = scan["segments"], scan["ri"]
+    order = scan["order"]
+    nblocks = bh * bw
+
+    def segmented(reset_fn):
+        """Yield (block_index, reader); switch segment + reset state
+        every `ri` blocks when a restart interval is declared."""
+        rd = _BitReader(segments[0])
+        seg_i = 0
+        for n in range(nblocks):
+            if ri and n and n % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                rd = _BitReader(segments[seg_i])
+                reset_fn()
+            yield n, rd
+
+    if ss == 0:  # DC scan (interleaved allowed)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            pred = {ci: 0 for ci, _, _ in order}
+
+            def _reset():
+                for k in pred:
+                    pred[k] = 0
+
+            for n, rd in segmented(_reset):
+                for ci, _, _ in order:
+                    t = _jpeg_huff_decode(rd, scan["dc"][ci])
+                    pred[ci] += _jpeg_extend(rd.receive(t), t)
+                    coef[ci][n, 0] = pred[ci] << al
+        else:  # DC refinement: one raw bit per block per component
+            for n, rd in segmented(lambda: None):
+                for ci, _, _ in order:
+                    if rd.read_bit():
+                        coef[ci][n, 0] |= 1 << al
+        return
+
+    # AC scan: T.81 requires non-interleaved (one component)
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci = order[0][0]
+    actab = scan["ac"][ci]
+    c = coef[ci]
+    state = {"eobrun": 0}
+
+    def _reset():
+        state["eobrun"] = 0
+
+    if ah == 0:  # AC first scan for this band
+        for n, rd in segmented(_reset):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(rd, actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:  # EOBn: run of (1<<r)+ext all-zero bands
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rd.receive(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                c[n, k] = _jpeg_extend(rd.receive(s), s) << al
+                k += 1
+        return
+
+    # AC refinement: append one correction bit per already-nonzero
+    # coefficient, place newly-significant ±1<<Al coefficients
+    p1, m1 = 1 << al, -(1 << al)
+    for n, rd in segmented(_reset):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(rd, actab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # EOBn — current block's tail handled below
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.receive(r)
+                        break
+                    # r == 15: ZRL skips 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if rd.read_bit() else m1
+                while k <= se:
+                    h = int(c[n, k])
+                    if h != 0:
+                        if rd.read_bit() and (h & p1) == 0:
+                            c[n, k] = h + (p1 if h >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("refinement run past end of band")
+                    c[n, k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                h = int(c[n, k])
+                if h != 0:
+                    if rd.read_bit() and (h & p1) == 0:
+                        c[n, k] = h + (p1 if h >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+
 def decode_jpeg(data: bytes):
-    """REAL baseline JPEG decode via stdlib ``struct`` + numpy: marker
-    walk (DQT/SOF0/DHT/SOS), canonical Huffman decode of the entropy
-    stream (DC category + EXTEND, AC run/size with EOB/ZRL), dezigzag,
-    dequantize, exact separable float64 IDCT, level shift, and JFIF
-    YCbCr→RGB with round-half-even — dict(width, height, bpp, pixels
-    HxWx3 uint8). Supports baseline sequential (SOF0) grayscale and
-    4:4:4 three-component scans; subsampled chroma or progressive scans
-    need a production codec and raise NotImplementedError. Reference
-    decode analog: reference/datasets/videoset.py:66-95 (cv2 over
-    compressed frames) — the same decode step, zero third-party deps."""
+    """REAL JPEG decode via stdlib ``struct`` + numpy: marker walk
+    (DQT/SOF/DHT/DRI/SOS), canonical Huffman decode of the entropy
+    stream, dezigzag, dequantize, exact separable float64 IDCT, level
+    shift, and JFIF YCbCr→RGB with round-half-even — dict(width,
+    height, bpp, pixels HxWx3 uint8). Supports baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2: spectral selection +
+    successive approximation, DC/AC first + refinement scans with
+    EOB-run coding) in grayscale and 4:4:4, with restart intervals
+    (DRI + RSTn) in both modes. Subsampled chroma, hierarchical and
+    lossless modes still need a production codec and raise
+    NotImplementedError. Reference decode analog:
+    reference/datasets/videoset.py:66-95 (cv2 over compressed frames)
+    — the same decode step, zero third-party deps."""
     import struct
 
     import numpy as np
@@ -296,8 +502,9 @@ def decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
     comps: list[dict] = []
     width = height = None
-    scan: bytes | None = None
-    scan_order: list[dict] = []
+    progressive = False
+    dri = 0
+    scans: list[dict] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -320,7 +527,8 @@ def decode_jpeg(data: bytes):
                     tbl[_JPEG_ZIGZAG[z]] = seg[i + z]
                 qt[tq] = tbl.reshape(8, 8)
                 i += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -329,8 +537,10 @@ def decode_jpeg(data: bytes):
                         "only 4:4:4 / grayscale sampling supported"
                     )
                 comps.append({"id": cid, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "hierarchical/lossless/arithmetic JPEG modes unsupported"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -341,11 +551,11 @@ def decode_jpeg(data: bytes):
                 codes = _jpeg_huff_codes(bits, vals)
                 huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
                 i += 17 + nv
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 # a valid baseline JPEG may carry each SOF component in
                 # its own scan (ns < nc); decoding only the first scan
                 # would silently return grayscale pixels for a color
@@ -353,75 +563,55 @@ def decode_jpeg(data: bytes):
                 raise NotImplementedError(
                     "non-interleaved multi-scan baseline JPEG unsupported"
                 )
+            order: list[tuple[int, int, int]] = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
-                comp["dc"], comp["ac"] = tables >> 4, tables & 15
-                scan_order.append(comp)
-            # entropy-coded bytes follow until the next real marker
-            out = bytearray()
-            while pos < len(data):
-                b = data[pos]
-                if b == 0xFF:
-                    nxt = data[pos + 1]
-                    if nxt == 0x00:
-                        out.append(0xFF)
-                        pos += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError("restart markers unsupported")
-                    break
-                out.append(b)
-                pos += 1
-            scan = bytes(out)
-            break
-    if width is None or scan is None:
+                ci = next(i for i, x in enumerate(comps) if x["id"] == cid)
+                order.append((ci, tables >> 4, tables & 15))
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = {
+                "order": order,
+                "ss": ss,
+                "se": se,
+                "ah": ahl >> 4,
+                "al": ahl & 15,
+                "ri": dri,
+                # snapshot table refs NOW — later DHTs may redefine ids
+                "dc": {ci: huff.get((0, td)) for ci, td, _ in order},
+                "ac": {ci: huff.get((1, ta)) for ci, _, ta in order},
+            }
+            scan["segments"], pos = _jpeg_collect_entropy(data, pos)
+            scans.append(scan)
+    if width is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if not progressive and len(scans) != 1:
+        raise NotImplementedError("multiple sequential scans unsupported")
 
-    def huff_decode(rd: _BitReader, table: dict) -> int:
-        code = ln = 0
-        while ln < 16:
-            code = (code << 1) | rd.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    a = _idct_matrix()
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan_order]
-    rd = _BitReader(scan)
-    pred = [0] * len(scan_order)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, comp in enumerate(scan_order):
-                coefs = np.zeros(64, dtype=np.float64)
-                t = huff_decode(rd, huff[(0, comp["dc"])])
-                pred[ci] += _jpeg_extend(rd.receive(t), t)
-                coefs[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_decode(rd, huff[(1, comp["ac"])])
-                    r, s = rs >> 4, rs & 15
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    coefs[_JPEG_ZIGZAG[k]] = _jpeg_extend(rd.receive(s), s)
-                    k += 1
-                block = coefs.reshape(8, 8) * qt[comp["tq"]]
-                px = a.T @ block @ a + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    planes = [p[:height, :width] for p in planes]
+    coef = [np.zeros((bh * bw, 64), dtype=np.int32) for _ in comps]
+    if progressive:
+        for scan in scans:
+            _jpeg_prog_scan(scan, coef, bw, bh)
+    else:
+        _jpeg_seq_scan(scans[0], coef, bw, bh)
+
+    # dequantize (zigzag → natural order) + vectorized IDCT per plane
+    a = _idct_matrix()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    planes = []
+    for ci, comp in enumerate(comps):
+        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        nat[:, zz] = coef[ci]
+        blocks = nat.reshape(-1, 8, 8) * qt[comp["tq"]]
+        px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane[:height, :width])
     if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         px3 = np.repeat(y[:, :, None], 3, axis=2)
         return {"width": width, "height": height, "bpp": 8, "pixels": px3}
     if len(planes) != 3:
-        raise NotImplementedError("1- or 3-component scans only")
+        raise NotImplementedError("1- or 3-component images only")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -431,7 +621,12 @@ def decode_jpeg(data: bytes):
 
 
 def synth_jpeg(
-    width: int, height: int, block_fn, gray: bool = False, ac_fn=None
+    width: int,
+    height: int,
+    block_fn,
+    gray: bool = False,
+    ac_fn=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize ``block_fn(bx, by) -> (y, cb, cr)`` (flat 8x8 blocks,
     components in 0..255) into a REAL baseline JPEG: canonical Huffman
@@ -442,7 +637,9 @@ def synth_jpeg(
     ``multimodal_jpeg`` oracle analytic. Width/height must be multiples
     of 8. ``ac_fn(bx, by, ci) -> [(zigzag_k, quantized_val), ...]``
     (sorted, k in 1..63, val != 0) optionally writes AC coefficients —
-    used by the round-trip tests to exercise run/size + ZRL decode."""
+    used by the round-trip tests to exercise run/size + ZRL decode.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned pad, predictor reset)."""
     import struct
 
     if width % 8 or height % 8:
@@ -467,6 +664,8 @@ def synth_jpeg(
     seg(0xC0, sof)
     seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])
@@ -489,8 +688,16 @@ def synth_jpeg(
         bitbuf[0], bitbuf[1] = acc, nb
 
     pred = [0] * ncomp
+    mcu = 0
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if bitbuf[1]:  # byte-align with 1-bits before the marker
+                    pad = 8 - bitbuf[1]
+                    put((1 << pad) - 1, pad)
+                out.extend(bytes([0xFF, 0xD0 | ((mcu // restart_interval - 1) % 8)]))
+                pred = [0] * ncomp
+            mcu += 1
             vals = block_fn(bx, by)
             comps = [vals[0]] if gray else list(vals[:3])
             for ci, v in enumerate(comps):
@@ -525,17 +732,262 @@ def synth_jpeg(
     return bytes(out)
 
 
+def synth_jpeg_progressive(
+    width: int,
+    height: int,
+    block_fn,
+    gray: bool = False,
+    ac_fn=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize the same ``block_fn``/``ac_fn`` coefficient source as
+    :func:`synth_jpeg` into a REAL progressive (SOF2) JPEG with a
+    four-phase scan script: interleaved DC first scan (Al=1), DC
+    refinement (raw bits, Al=0), then per-component non-interleaved AC
+    first scans (Ss=1..63, Al=1, EOB-run coding) and AC refinement
+    scans (Ah=1, Al=0: newly-significant ±1 placement + correction
+    bits, mirroring T.81 G.1.2). The entropy layer shares NOTHING with
+    the baseline writer, so baseline-vs-progressive pixel parity on the
+    same coefficients is a meaningful cross-check of the progressive
+    decode path. With q00=8 flat DC-only blocks decode bit-exactly
+    (the same analytic-oracle property as synth_jpeg; the Al=1 DC
+    split is lossless: (dc>>1)<<1 | (dc&1) == dc). ``restart_interval``
+    emits DRI + per-scan RSTn markers with predictor/EOB-run reset."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("synth_jpeg_progressive needs multiple-of-8 dimensions")
+    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
+    # progressive AC alphabet adds EOBn (r<<4, r<15) to run/size + ZRL
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(0, 11)]
+    ac_bits, ac_vals = _jpeg_huff_spec(ac_syms, 8)
+    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    ncomp = 1 if gray else 3
+    bw, bh = width // 8, height // 8
+    # quantized coefficients per component per block (zigzag index)
+    dc = [[0] * (bh * bw) for _ in range(ncomp)]
+    ac: list[list[dict]] = [[{} for _ in range(bh * bw)] for _ in range(ncomp)]
+    for by in range(bh):
+        for bx in range(bw):
+            n = by * bw + bx
+            vals = block_fn(bx, by)
+            comps = [vals[0]] if gray else list(vals[:3])
+            for ci, v in enumerate(comps):
+                dc[ci][n] = int(v) - 128
+                if ac_fn is not None:
+                    ac[ci][n] = {k: av for k, av in ac_fn(bx, by, ci) if av}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([8] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC2, sof)  # SOF2: progressive DCT
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    bitbuf: list[int] = [0, 0]  # acc, nbits
+
+    def put(code: int, n: int) -> None:
+        acc, nb = bitbuf
+        acc = (acc << n) | code
+        nb += n
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+        bitbuf[0], bitbuf[1] = acc, nb
+
+    def pad() -> None:
+        if bitbuf[1]:
+            p = 8 - bitbuf[1]
+            put((1 << p) - 1, p)
+
+    rst = [0]
+
+    def restart() -> None:
+        pad()
+        out.extend(bytes([0xFF, 0xD0 | (rst[0] % 8)]))
+        rst[0] += 1
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        payload = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            payload += bytes([cid, 0x00])
+        payload += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, payload)
+        rst[0] = 0
+
+    def put_huff(sym: int) -> None:
+        code, ln = ac_codes[sym]
+        put(code, ln)
+
+    # --- scan 1: DC first, interleaved, Al=1 (arithmetic-shift PT) ---
+    sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    pred = [0] * ncomp
+    for n in range(bh * bw):
+        if restart_interval and n and n % restart_interval == 0:
+            restart()
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            v = dc[ci][n] >> 1
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = (diff if diff >= 0 else -diff).bit_length()
+            code, ln = dc_codes[t]
+            put(code, ln)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    pad()
+
+    # --- scan 2: DC refinement, Al=0 — one raw bit per block/comp ---
+    sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    for n in range(bh * bw):
+        if restart_interval and n and n % restart_interval == 0:
+            restart()
+        for ci in range(ncomp):
+            put(dc[ci][n] & 1, 1)
+    pad()
+
+    def pt(v: int, al: int) -> int:  # AC point transform: sign-magnitude
+        return -((-v) >> al) if v < 0 else v >> al
+
+    # --- scans 3..: per-component AC first (Ss=1, Se=63, Al=1) ---
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 0, 1)
+        run = [0]
+
+        def flush_eob(run=run, pending=None):
+            if not run[0]:
+                return
+            if run[0] > 32767:
+                raise ValueError("EOB run exceeds a single EOBn symbol")
+            cat = run[0].bit_length() - 1
+            put_huff(cat << 4)
+            if cat:
+                put(run[0] - (1 << cat), cat)
+            if pending:
+                for b in pending:
+                    put(b, 1)
+                pending.clear()
+            run[0] = 0
+
+        for n in range(bh * bw):
+            if restart_interval and n and n % restart_interval == 0:
+                flush_eob()
+                restart()
+            vals = sorted(
+                (k, pt(v, 1)) for k, v in ac[ci][n].items() if pt(v, 1) != 0
+            )
+            if not vals:
+                run[0] += 1
+                continue
+            flush_eob()
+            last = 0
+            for k, av in vals:
+                zeros = k - last - 1
+                while zeros > 15:
+                    put_huff(0xF0)  # ZRL
+                    zeros -= 16
+                s = (av if av >= 0 else -av).bit_length()
+                put_huff((zeros << 4) | s)
+                put(av if av >= 0 else av + (1 << s) - 1, s)
+                last = k
+            if last < 63:
+                run[0] += 1
+        flush_eob()
+        pad()
+
+    # --- final scans: per-component AC refinement (Ah=1, Al=0) ---
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 1, 0)
+        run, pending = [0], []
+
+        def flush_eob(run=run, pending=pending):
+            if not run[0]:
+                return
+            if run[0] > 32767:
+                raise ValueError("EOB run exceeds a single EOBn symbol")
+            cat = run[0].bit_length() - 1
+            put_huff(cat << 4)
+            if cat:
+                put(run[0] - (1 << cat), cat)
+            for b in pending:
+                put(b, 1)
+            pending.clear()
+            run[0] = 0
+
+        for n in range(bh * bw):
+            if restart_interval and n and n % restart_interval == 0:
+                flush_eob()
+                restart()
+            t = ac[ci][n]
+            hist = {k for k, v in t.items() if pt(v, 1)}
+            newly = {k for k, v in t.items() if k not in hist and abs(v) == 1}
+            if not newly:
+                # block joins the EOB run; decoder still reads one
+                # correction bit per already-nonzero coefficient
+                run[0] += 1
+                pending.extend(abs(t[k]) & 1 for k in sorted(hist))
+                continue
+            flush_eob()
+            last_new = max(newly)
+            k, zeros, bits = 1, 0, []
+            while k <= last_new:
+                if k in newly:
+                    # symbol, then sign bit, then the correction bits
+                    # the decoder reads while advancing (T.81 order)
+                    put_huff((zeros << 4) | 1)
+                    put(1 if t[k] > 0 else 0, 1)
+                    for b in bits:
+                        put(b, 1)
+                    zeros, bits = 0, []
+                elif k in hist:
+                    bits.append(abs(t[k]) & 1)
+                elif zeros == 15:
+                    put_huff(0xF0)  # ZRL consumes this 16th zero-history
+                    for b in bits:
+                        put(b, 1)
+                    zeros, bits = 0, []
+                else:
+                    zeros += 1
+                k += 1
+            if last_new < 63:
+                # tail of this block opens an EOB run
+                run[0] += 1
+                pending.extend(abs(t[k]) & 1 for k in sorted(hist) if k > last_new)
+        flush_eob()
+        pad()
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def decode_image(data: bytes):
     """REAL image decode, routed by container signature: uncompressed
     24-bit BMP via stdlib ``struct`` (BITMAPFILEHEADER + BITMAPINFOHEADER
     + bottom-up padded BGR rows) and compressed PNG via
     :func:`decode_png` (stdlib zlib + full filter reconstruction) →
-    dict(width, height, bpp, pixels HxWxC uint8, RGB/RGBA).
+    dict(width, height, bpp, pixels HxWxC uint8, RGB/RGBA), plus
+    sequential AND progressive JPEG via :func:`decode_jpeg`.
     The reference decodes frames with cv2
-    (reference/datasets/videoset.py:66-95); both paths here are
+    (reference/datasets/videoset.py:66-95); all paths here are
     stdlib-only, real, and oracle-checked (``multimodal_image``,
-    ``multimodal_png``). JPEG/video still need a production codec and
-    raise NotImplementedError."""
+    ``multimodal_png``, ``multimodal_jpeg``, ``multimodal_jpeg_prog``).
+    Subsampled-chroma JPEG still needs a production codec and raises
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -547,8 +999,8 @@ def decode_image(data: bytes):
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
             "stdlib-decodable containers are 24-bit BMP, 8-bit RGB/RGBA PNG "
-            "and baseline 4:4:4/grayscale JPEG; plug a codec (PIL/cv2) in "
-            "for subsampled/progressive JPEG and video"
+            "and sequential/progressive 4:4:4/grayscale JPEG; plug a codec "
+            "(PIL/cv2) in for subsampled-chroma JPEG or other formats"
         )
     offset = struct.unpack_from("<I", data, 10)[0]
     width, height = struct.unpack_from("<ii", data, 18)

@@ -2097,6 +2097,88 @@ FROM p
 """
 
 
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode (SOF2: spectral selection + successive
+    approximation — the dominant encoding in real web crawls): per
+    document a progressive JPEG of flat 8x8 blocks is synthesized via
+    the 4-phase scan script (DC first Al=1, DC refinement, per-component
+    AC first + AC refinement with EOB-run coding), a third of the
+    documents additionally carrying DRI restart intervals, every 4th
+    document grayscale — then pushed through the SAME decode → resize →
+    channel-sum chain as the sequential `multimodal_jpeg` row
+    (operators/multimodal.decode_jpeg, the SOF2 path). The oracle
+    recomputes the sums analytically from the block formula, so a scan-
+    script, EOB-run, refinement-bit, restart-reset or IDCT bug breaks
+    the hash. Reference decode analog: reference/datasets/videoset.py:
+    66-95 (cv2 handles progressive transparently; so does this engine
+    now)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_jpeg_progressive,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 8 * (1 + doc_id % 3), 8 * (1 + tlen % 2)
+
+                def bf(bx, by, doc_id=doc_id):
+                    return ((doc_id * 11 + by * 29 + bx * 17) % 256, 128, 128)
+
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_jpeg_progressive(
+                        w,
+                        h,
+                        bf,
+                        gray=(doc_id % 4 == 0),
+                        restart_interval=doc_id % 3,  # 0 = none, 1, 2
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_jpeg_prog_oracle() -> str:
+    # same analytic construction as _mm_jpeg_oracle with the
+    # progressive row's block-luma constants (11, 29, 17)
+    def term(xe: str, ye: str) -> str:
+        return f"(doc_id * 11 + (({ye}) // 8) * 29 + (({xe}) // 8) * 17) % 256"
+
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        + term("t % w", "t // w")
+        + f")) AS BIGINT) AS sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        + term("((t % 8) * w) // 8", "((t // 8) * h) // 6")
+        + f")) AS BIGINT) AS rs_sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + length(text) % 2) AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 24 END AS INT) AS bpp,
+       {full}, {rs}
+FROM p
+"""
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, stdlib-only — S2 made literal (the reference's
     primary input modality, reference/datasets/videoset.py:72-103): per
@@ -3461,6 +3543,7 @@ GROUP BY 1, 2
 # union of any two consecutive rounds covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
+    "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
     "dedup_incremental_indexed": (q_dedup_incremental_indexed, _dedup_incremental_oracle()),
     # --- last green in r3 (outside r4's 50-row cap) ---

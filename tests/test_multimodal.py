@@ -338,9 +338,19 @@ def test_decode_jpeg_rejects_unsupported_modes():
 
     blob = bytearray(synth_jpeg(8, 8, lambda bx, by: (1, 128, 128)))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # progressive
+    blob[sof + 1] = 0xC7  # hierarchical/lossless family
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC2  # SOF2 header on a full-band sequential scan:
+    with pytest.raises(ValueError):  # malformed progressive (DC Se!=0)
+        decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC1  # SOF1 extended sequential decodes like SOF0
+    import numpy as np
+
+    assert np.array_equal(
+        decode_jpeg(bytes(blob))["pixels"],
+        decode_jpeg(bytes(synth_jpeg(8, 8, lambda bx, by: (1, 128, 128))))["pixels"],
+    )
     blob[sof + 1] = 0xC0
     blob[sof + 11] = 0x22  # 4:2:0 sampling factors on component 1
     with pytest.raises(NotImplementedError):
@@ -418,3 +428,101 @@ def test_video_features_null_row_on_corrupt(spark):
     assert (ok.width == 8).all() and (ok.sum_r == 50 * 64).all()
     bad = out[out.doc_id == 2]
     assert len(bad) == 1 and bad.pathway.isna().all()
+
+
+def test_progressive_jpeg_dc_only_exact():
+    """DC-only flat blocks through the 4-phase progressive scan script
+    decode bit-exactly (q00=8, lossless Al=1 DC split) — the property
+    the multimodal_jpeg_prog analytic oracle relies on."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    def bf(bx, by):
+        return ((7 + by * 31 + bx * 13) % 256, 128, 128)
+
+    for gray in (False, True):
+        d = decode_jpeg(synth_jpeg_progressive(24, 16, bf, gray=gray))
+        assert d["bpp"] == (8 if gray else 24)
+        exp = np.zeros((16, 24), dtype=np.uint8)
+        for y in range(16):
+            for x in range(24):
+                exp[y, x] = bf(x // 8, y // 8)[0]
+        assert np.array_equal(d["pixels"][:, :, 0], exp)
+        assert np.array_equal(d["pixels"][:, :, 1], exp)
+
+
+def test_progressive_vs_baseline_pixel_parity_random_acs():
+    """Baseline and progressive writers share NO entropy-layer code, so
+    identical pixels on the same random coefficients cross-check the
+    EOB-run, ZRL, newly-significant and correction-bit paths of the
+    SOF2 decoder (T.81 G.1.2)."""
+    import random
+
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(20):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 3)
+        gray = rng.random() < 0.3
+        blocks, acs = {}, {}
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blocks[(bx, by)] = tuple(rng.randint(0, 255) for _ in range(3))
+                for ci in range(1 if gray else 3):
+                    if rng.random() < 0.35:
+                        acs[(bx, by, ci)] = []  # empty band -> EOB runs
+                    else:
+                        ks = sorted(rng.sample(range(1, 64), rng.randint(1, 8)))
+                        acs[(bx, by, ci)] = [
+                            (k, rng.choice([-120, -9, -3, -2, -1, 1, 2, 3, 9, 33]))
+                            for k in ks
+                        ]
+
+        def bfn(bx, by, blocks=blocks):
+            return blocks[(bx, by)]
+
+        def afn(bx, by, ci, acs=acs):
+            return acs.get((bx, by, ci), [])
+
+        d0 = decode_jpeg(synth_jpeg(w, h, bfn, gray=gray, ac_fn=afn))
+        d1 = decode_jpeg(synth_jpeg_progressive(w, h, bfn, gray=gray, ac_fn=afn))
+        assert np.array_equal(d0["pixels"], d1["pixels"]), f"trial {trial}"
+
+
+def test_jpeg_restart_intervals_both_modes():
+    """DRI + RSTn markers (predictor/EOB-run reset, byte-aligned pad)
+    decode identically to the unsegmented stream in sequential AND
+    progressive mode, for intervals that do and don't divide the MCU
+    count."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    def bfn(bx, by):
+        return ((bx * 50 + by * 90) % 256, 100, 200)
+
+    def afn(bx, by, ci):
+        return [(3, 5), (40, -7)] if (bx + by) % 2 else []
+
+    base = decode_jpeg(synth_jpeg(32, 24, bfn, ac_fn=afn))
+    for ri in (1, 2, 5, 7):
+        seq = decode_jpeg(synth_jpeg(32, 24, bfn, ac_fn=afn, restart_interval=ri))
+        prog = decode_jpeg(
+            synth_jpeg_progressive(32, 24, bfn, ac_fn=afn, restart_interval=ri)
+        )
+        assert np.array_equal(base["pixels"], seq["pixels"]), f"seq ri={ri}"
+        assert np.array_equal(base["pixels"], prog["pixels"]), f"prog ri={ri}"
