@@ -424,6 +424,103 @@ def dedup_clusters(
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) → (id, cluster_id) with cluster_id = the
+    component-minimum id — output-identical to :func:`dedup_clusters`.
+
+    This is the corpus-scale shape: min-label propagation converges in
+    O(component diameter) rounds, which an adversarial near-dup CHAIN
+    (doc₁≈doc₂≈…≈docₙ — boilerplate series, paginated articles)
+    stretches to O(n) rounds; star contraction converges in O(log² n)
+    worst case / O(log n) observed, independent of diameter. Each round
+    is two groupBy-min + self-join passes over a monotonically
+    SHRINKING canonical edge set (held big→small), lineage cut with
+    localCheckpoint; the driver coordinates only round counts and a
+    set-equality convergence probe, never data.
+
+    large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood; small-star: every node links
+    its (smaller) neighbors and itself to the neighborhood minimum.
+    Both preserve connectivity; the joint fixpoint is one star per
+    component, rooted at the component minimum.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("src"), F.least("u", "v").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # large-star: over the symmetric view, m(u) = min(N(u) ∪ {u});
+        # emit (v, m(u)) for every neighbor v > u — strictly-larger
+        # neighbors hook onto the local minimum
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m_closed = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            sym.join(m_closed, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: edges are big→small, so every neighbor of u is
+        # smaller; relink them AND u itself to min(N(u)), dropping the
+        # self-loop on the minimum
+        m_small = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_edges = (
+            large.join(m_small, "src")
+            .select(F.col("dst").alias("relinked"), F.col("m"))
+            .unionByName(
+                m_small.select(F.col("src").alias("relinked"), F.col("m"))
+            )
+            .filter(F.col("relinked") != F.col("m"))
+            .select(F.col("relinked").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).count() == 0
+        )
+        edges = new_edges
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iter} rounds; "
+            "star contraction needs O(log^2 n) rounds worst-case, so 20 "
+            "covers any physically storable corpus — a non-convergence "
+            "here indicates an edge-generation bug, not a small budget"
+        )
+    # fixpoint = star per component: every non-root has exactly one
+    # outgoing edge to its component minimum; roots label themselves
+    return nodes.join(
+        edges.withColumnRenamed("src", "id"), "id", "left"
+    ).select("id", F.coalesce(F.col("dst"), F.col("id")).alias("cluster_id"))
+
+
 def _hex_digit_val(c: Column) -> Column:
     """hex char → 0..15 via strpos arithmetic (portable to any engine)."""
     return F.instr(F.lit(HEX), c) - 1

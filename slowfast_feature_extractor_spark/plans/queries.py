@@ -1274,6 +1274,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clusters as `dedup_clusters`, computed with
+    large-star/small-star contraction (operators/dedup.
+    dedup_clusters_star): O(log n) rounds independent of component
+    diameter — the variant that survives adversarial near-dup CHAINS
+    at corpus scale, where min-label propagation needs O(n) rounds.
+    Oracle identical: recursive-CTE reachability over the same pairs,
+    so the two engine variants AND the oracle must agree three ways."""
+    pairs = SIM.embedding_neardup_blocked(_emb(spark, sf_dir), threshold=0.4)
+    return DD.dedup_clusters_star(pairs)
+
+
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE p AS ({ORACLE_DEDUP_EMBEDDING}),
 ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
@@ -3544,6 +3556,7 @@ GROUP BY 1, 2
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
+    "dedup_clusters_star": (q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
     "dedup_incremental_indexed": (q_dedup_incremental_indexed, _dedup_incremental_oracle()),
     # --- last green in r3 (outside r4's 50-row cap) ---

@@ -74,6 +74,49 @@ def test_dedup_clusters_components(spark):
     assert got == {3: 3, 9: 3, 5: 3, 7: 3, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_star_matches_label_propagation(spark):
+    """Large-star/small-star contraction labels the same components as
+    min-label propagation on chains, stars, cycles, and disjoint pairs
+    — including an id ordering where the component min sits mid-chain."""
+    from slowfast_feature_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 5), (5, 7), (20, 21), (40, 41), (41, 42), (42, 40),
+         (100, 60), (60, 101), (101, 58)],
+        "id_a long, id_b long",
+    )
+    lp = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    star = {r.id: r.cluster_id for r in dedup_clusters_star(pairs).collect()}
+    assert star == lp
+    assert star[7] == 3 and star[42] == 40 and star[100] == 58
+
+
+def test_dedup_clusters_star_long_chain_logarithmic_rounds(spark):
+    """A 120-node near-dup CHAIN: label propagation needs O(n) rounds
+    (raises at max_iter=10), star contraction converges within its
+    default O(log n) budget and still labels every node with the
+    component minimum — the reason the star variant is the corpus-scale
+    shape."""
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=10)
+    got = {r.id: r.cluster_id for r in dedup_clusters_star(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_md5i64_matches_duckdb(spark):
     """md5i64 (Spark conv/substring/md5) is bit-identical to the DuckDB
     oracle expression CAST('0x'||substr(md5(x),1,15) AS BIGINT) — the
