@@ -526,3 +526,36 @@ def test_jpeg_restart_intervals_both_modes():
         )
         assert np.array_equal(base["pixels"], seq["pixels"]), f"seq ri={ri}"
         assert np.array_equal(base["pixels"], prog["pixels"]), f"prog ri={ri}"
+
+
+def test_progressive_long_eob_runs_with_correction_bits():
+    """A 16x32-block grid where only the final block carries AC energy:
+    the AC-first scan emits one EOBn covering 511 blocks (r=8 extra-bit
+    path), and the refinement scan must thread correction bits through
+    an EOB run whose blocks carry nonzero history — the exact
+    interaction T.81 G.1.2.3 makes easy to get wrong."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    w, h = 8 * 32, 8 * 16  # 512 blocks
+
+    def bfn(bx, by):
+        return ((bx + by * 3) % 256, 128, 128)
+
+    def afn(bx, by, ci):
+        if (bx, by) == (31, 15):
+            return [(1, 9), (63, -5)]
+        if bx % 7 == 3 and by % 5 == 1:
+            # history-carrying blocks inside the EOB run (|v| >= 2 so
+            # the first scan plants them; refinement adds their bits)
+            return [(2, -2), (17, 3)]
+        return []
+
+    d0 = decode_jpeg(synth_jpeg(w, h, bfn, gray=True, ac_fn=afn))
+    d1 = decode_jpeg(synth_jpeg_progressive(w, h, bfn, gray=True, ac_fn=afn))
+    assert np.array_equal(d0["pixels"], d1["pixels"])
