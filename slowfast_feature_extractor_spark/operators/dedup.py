@@ -68,6 +68,93 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def dedup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-wide duplicated-passage removal (the exact-substring dedup
+    of Lee et al. 2022 / RefinedWeb line-dedup, at fixed passage
+    granularity): each document's token stream is chunked into
+    consecutive NON-overlapping ``k``-token segments; a full segment is
+    kept only at its first corpus occurrence — ordered by
+    (``id_col``, segment index) — and removed everywhere else. Sub-``k``
+    tail segments are exempt (always kept); the exemption doubles as the
+    hot-key guard, since ubiquitous short fragments never enter the
+    first-occurrence shuffle. Output: (id, n_segs, n_kept, clean_text)
+    with clean_text the kept segments re-joined in document order.
+
+    Scale shape: chunking is map-only array work; the first-occurrence
+    table is a map-side-combinable groupBy MIN(struct) on an int64
+    segment hash (a passage repeated 10^9 times partial-aggregates
+    before the exchange); the keep decision is one sort-merge join back
+    on that int64 key (tails are split out pre-join so no null-key rows
+    pile onto one partition; AQE splits skewed probe keys); reassembly
+    shuffles once on the doc id with per-doc bounded state. Different
+    passages that collide on the 60-bit hash share one first-occurrence
+    group — deterministic, and mirrored exactly by the oracle."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    t = df.select(F.col(id_col), toks.alias("toks"))
+    # guard size=0: Spark's sequence(0, -1) would DESCEND, not be empty
+    chunks = F.when(
+        F.size("toks") == 0, F.expr("CAST(array() AS array<string>)")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, CAST(ceil(size(toks) / {k}.0) AS INT) - 1),"
+            f" i -> array_join(slice(toks, i * {k} + 1, {k}), ' '))"
+        )
+    )
+    segs = t.select(
+        F.col(id_col),
+        F.size("toks").alias("n_toks"),
+        F.posexplode(chunks).alias("seg_idx", "seg"),
+    ).select(
+        id_col,
+        "seg_idx",
+        "seg",
+        ((F.col("seg_idx") + 1) * k <= F.col("n_toks")).alias("is_full"),
+    )
+    tails = segs.where(~F.col("is_full")).select(
+        id_col, "seg_idx", "seg", F.lit(True).alias("keep")
+    )
+    fulls = segs.where("is_full").select(
+        id_col, "seg_idx", "seg", _hash64(F.col("seg"), hash_fn).alias("h")
+    )
+    firsts = fulls.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("first")
+    )
+    decided = fulls.join(firsts, "h").select(
+        id_col,
+        "seg_idx",
+        "seg",
+        (
+            (F.col(f"first.{id_col}") == F.col(id_col))
+            & (F.col("first.seg_idx") == F.col("seg_idx"))
+        ).alias("keep"),
+    )
+    return (
+        decided.unionByName(tails)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def shingle_table(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2606,6 +2606,51 @@ FROM q
 """
 
 
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage removal across the corpus (Lee et al.
+    2022 / RefinedWeb line-dedup at fixed 8-token granularity): only the
+    first corpus occurrence of each full 8-token segment survives;
+    documents are reassembled from their kept segments. Complements
+    dedup_exact (whole-doc) and dedup_minhash_lsh (near-dup): this is
+    the operator that strips boilerplate passages repeated across
+    otherwise-distinct pages. Reference analog: the reference dedups at
+    whole-clip granularity only (datasets/videoset.py builds one row per
+    clip); passage-level is the corpus-scale extension."""
+    return DD.dedup_passages(_docs(spark, sf_dir), k=8)
+
+
+ORACLE_DEDUP_PASSAGES = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS seg,
+         (i + 1) * 8 <= len(toks) AS is_full
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+        FROM t)
+), ranked AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (
+           PARTITION BY CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT)
+           ORDER BY doc_id, seg_idx) AS rn
+  FROM segs WHERE is_full
+), dec AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         CASE WHEN s.is_full THEN r.rn = 1 ELSE TRUE END AS keep
+  FROM segs s LEFT JOIN ranked r
+    ON s.doc_id = r.doc_id AND s.seg_idx = r.seg_idx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx),
+                '') AS clean_text
+FROM dec GROUP BY doc_id
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style intra-document repetition signals: duplicate-word
     fraction, top-word fraction, top-bigram fraction. Two explode →
@@ -3555,6 +3600,7 @@ GROUP BY 1, 2
 # union of any two consecutive rounds covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
+    "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "dedup_clusters_star": (q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
@@ -3593,7 +3639,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
-    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
     "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
@@ -3610,7 +3655,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
     # --- back of the rotation (r4-green, code unchanged; next-oldest
-    # after the r5 driver run) ---
+    # after the r5 driver run; lm_unigram_score's only r5 delta is a
+    # comment, so its r4 hash evidence stands) ---
+    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
     "asof_join": (q_asof_join, _oracle_asof(">=")),
     "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),

@@ -221,3 +221,57 @@ def test_minhash_default_banding_derived(docs):
         assert exact[pair] == j
     with pytest.raises(ValueError):  # half-specified banding is an error
         DD.minhash_lsh_dedup(docs, num_hashes=8, threshold=0.5)
+
+
+def test_dedup_passages_first_occurrence_wins(spark):
+    # P = a full 8-token passage duplicated across docs; doc 1 holds its
+    # first corpus occurrence (lowest doc_id), docs 2 and 3 repeat it.
+    P = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, P + " one two three"),                # P + 3-token tail
+            (2, "x1 x2 x3 x4 x5 x6 x7 x8 " + P),      # unique seg + P
+            (3, P),                                   # P alone
+            (4, "one two three"),                     # tail-only doc
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.dedup_passages(docs, k=8).collect()}
+    # doc 1: P kept (first occurrence) + tail kept
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["clean_text"] == P + " one two three"
+    # doc 2: its unique segment kept, P removed
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["clean_text"] == "x1 x2 x3 x4 x5 x6 x7 x8"
+    # doc 3: P removed entirely -> empty clean_text
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["clean_text"] == ""
+    # doc 4: sub-k tail exempt even though "one two three" also appears
+    # as doc 1's tail
+    assert (out[4]["n_segs"], out[4]["n_kept"]) == (1, 1)
+    assert out[4]["clean_text"] == "one two three"
+
+
+def test_dedup_passages_within_doc_and_order(spark):
+    # the same passage repeated INSIDE one doc: second occurrence removed;
+    # reassembly preserves document order of the kept segments
+    P = "a b c d e f g h"
+    Q = "q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [(7, " ".join([P, Q, P]))], schema="doc_id long, text string"
+    )
+    row = DD.dedup_passages(docs, k=8).collect()[0]
+    assert (row["n_segs"], row["n_kept"]) == (3, 2)
+    assert row["clean_text"] == P + " " + Q
+
+
+def test_dedup_passages_empty_and_whitespace_docs(spark):
+    # zero-token docs produce no segment rows (absent from output, same
+    # as the oracle); multi-space runs collapse via the empty-token filter
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "w1  w2   w3")],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in DD.dedup_passages(docs, k=8).collect()}
+    assert set(rows) == {3}
+    assert rows[3]["clean_text"] == "w1 w2 w3"
