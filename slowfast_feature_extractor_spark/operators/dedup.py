@@ -390,9 +390,19 @@ def minhash_lsh_dedup(
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy("id").agg(*aggs)
-    cand = minhash_lsh_candidates(sigs, num_hashes, bands, hash_fn).persist(
-        StorageLevel.DISK_ONLY
-    )
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands, hash_fn)
+    return _verify_candidates(sh, cand, threshold, broadcast_limit)
+
+
+def _verify_candidates(
+    sh: DataFrame, cand: DataFrame, threshold: float, broadcast_limit: int
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against the
+    persisted shingle index ``sh``; shared by the salted-hash and OPH
+    signature paths. Output (id_a, id_b, jaccard >= threshold)."""
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.DISK_ONLY)
     n_cand = cand.count()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # Verification never sorts the big index: the candidate set is tiny
@@ -442,6 +452,97 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash signature (Li, Owen & Zhang 2012)
+    with rotation densification (Shrivastava & Li 2014): ONE hash per
+    shingle — the already-int64 shingle hash — partitioned into
+    ``num_perm`` bins by ``shingle mod num_perm``; slot i is the min
+    shingle hash that landed in bin i. Empty slots borrow from the
+    nearest non-empty bin to the right (circular, distance j) and are
+    re-keyed as ``hash64(j ':' borrowed)`` so two docs collide on a
+    densified slot iff they borrowed the SAME value from the SAME
+    distance — the equality semantics of the published ``H + j·C``
+    rotation scheme without its int64-overflow hazard.
+
+    Scale contrast with :func:`minhash_signatures`: the salted-hash
+    signature computes ``num_hashes`` fresh hashes PER SHINGLE (365 of
+    them at threshold 0.5 banding — the dominant CPU term of the whole
+    dedup at corpus scale); OPH hashes each shingle ONCE, turning the
+    signature aggregation into a pure conditional-min over already-
+    computed keys. Same groupBy shape (partial-aggregatable, int64
+    shuffle rows); the densification is a flat per-row CASE chain, fully
+    inside whole-stage codegen. The trade: per-slot collision
+    probability is approximately — not exactly — the Jaccard similarity
+    (empty-bin correlation), which LSH banding + exact-Jaccard
+    verification absorbs; recall at equal (num_perm, bands) is slightly
+    below the salted path, which the banding chooser's margin covers.
+    Docs with no shingles are dropped (nothing to hash)."""
+    sh = shingle_table(df, id_col, text_col, n, hash_fn)
+    return _oph_sig_from_shingles(sh, num_perm, hash_fn)
+
+
+def _oph_sig_from_shingles(sh: DataFrame, num_perm: int, hash_fn: str) -> DataFrame:
+    binned = sh.withColumn(
+        "bin", F.pmod(F.col("shingle"), F.lit(num_perm)).cast("int")
+    )
+    raw = binned.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("bin") == i, F.col("shingle"))).alias(f"raw{i}")
+            for i in range(num_perm)
+        ]
+    )
+    dens = []
+    for i in range(num_perm):
+        c = F.when(F.col(f"raw{i}").isNotNull(), F.col(f"raw{i}"))
+        for j in range(1, num_perm):
+            src = F.col(f"raw{(i + j) % num_perm}")
+            if hash_fn == "md5":
+                v = md5i64(F.concat(F.lit(f"{j}:"), src.cast("string")))
+            else:
+                v = F.xxhash64(F.lit(j), src)
+            c = c.when(src.isNotNull(), v)
+        dens.append(c.alias(f"mh{i}"))
+    return raw.select("id", *dens)
+
+
+def minhash_oph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """MinHash-LSH near-dup with OPH signatures: identical banding,
+    candidate join, and exact-Jaccard verification as
+    :func:`minhash_lsh_dedup` — only the signature aggregation differs
+    (one hash pass instead of ``num_perm``). Output (id_a, id_b,
+    jaccard >= threshold)."""
+    from pyspark import StorageLevel
+
+    if (num_perm is None) != (bands is None):
+        raise ValueError("pass both num_perm and bands, or neither")
+    if num_perm is None:
+        num_perm, bands = lsh_params(threshold)
+    sh = shingle_table(df, id_col, text_col, n, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
+    sigs = _oph_sig_from_shingles(sh, num_perm, hash_fn)
+    cand = minhash_lsh_candidates(sigs, num_perm, bands, hash_fn)
+    return _verify_candidates(sh, cand, threshold, broadcast_limit)
 
 
 def dedup_clusters(

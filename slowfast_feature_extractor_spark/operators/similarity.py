@@ -514,3 +514,97 @@ def embedding_neardup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into ``k`` cells by nearest
+    centroid, then prune WITHIN each cell — a vector is removed iff some
+    lower-id vector in the same cell has cosine ≥ ``threshold``. Output
+    one row per input vector: (vec_id, cell, keep).
+
+    Centroids here are deterministic seed vectors — the ``k`` lowest-id
+    rows — rather than a learned KMeans fit, so the whole pipeline is
+    reproducible by a SQL oracle; the learned-centroid drop-in is
+    :func:`knn_ivf`'s sampled seeded-KMeans fit (same assignment shape).
+
+    Scale shape: the seed table is k rows — broadcast against one corpus
+    scan; assignment is a partial-aggregatable groupBy max(struct) (no
+    window over the n·k scored rows); the prune join is CELL-LOCAL
+    (shuffle on the cell key, pairs only within a cell — Σ|cell|² work,
+    the SemDeDup contract, never the n² all-pairs), and the removed set
+    re-joins the assignment by id. Ties in the argmax (equal rounded
+    sim to two seeds) break to the lowest seed id — deterministic on
+    both engines."""
+    dim = _infer_dim(df, vec_col)
+    normed = _with_norm(df, vec_col, "__n", dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "__n"
+    )
+    seeds = (
+        normed.orderBy("id")
+        .limit(k)
+        .select(
+            F.col("id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("__n").alias("__sn"),
+        )
+    )
+    scored = normed.join(F.broadcast(seeds)).withColumn(
+        "sim",
+        F.round(
+            _pair_cosine(F.col("v"), F.col("sv"), F.col("__n"), F.col("__sn"), dim), 6
+        ),
+    )
+    assign = (
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("seed_id")).alias("ns"),
+                    F.col("seed_id").alias("cell"),
+                )
+            ).alias("m")
+        )
+        .select("id", F.col("m.cell").alias("cell"))
+    )
+    cells = normed.join(assign, "id")
+    a = cells.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                _pair_cosine(
+                    F.col("v_a"), F.col("v_b"), F.col("__na"), F.col("__nb"), dim
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        cells.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__rm"), F.lit(True)).alias("keep"),
+        )
+    )

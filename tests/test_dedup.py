@@ -275,3 +275,64 @@ def test_dedup_passages_empty_and_whitespace_docs(spark):
     rows = {r["doc_id"]: r for r in DD.dedup_passages(docs, k=8).collect()}
     assert set(rows) == {3}
     assert rows[3]["clean_text"] == "w1 w2 w3"
+
+
+def _py_md5i64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_oph_sig(text: str, p: int = 8, n: int = 3) -> list[int] | None:
+    """Reference OPH: one md5 hash per distinct shingle, binned by
+    mod p, per-bin min, rotation densification re-keyed as hash(j:v)."""
+    toks = [t for t in text.split(" ") if t]
+    hs = {_py_md5i64(" ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)}
+    if not hs:
+        return None
+    raw: list[int | None] = [None] * p
+    for h in hs:
+        b = h % p
+        raw[b] = h if raw[b] is None else min(raw[b], h)
+    dens = []
+    for i in range(p):
+        for j in range(p):
+            src = raw[(i + j) % p]
+            if src is not None:
+                dens.append(src if j == 0 else _py_md5i64(f"{j}:{src}"))
+                break
+    return dens
+
+
+def test_oph_signatures_match_reference_densification(docs):
+    """Spark OPH signatures equal an independent Python reimplementation
+    slot-for-slot — including borrowed (densified) slots, which the
+    short fixture docs are guaranteed to have (8 shingles into 8 bins
+    leaves empty bins with overwhelming probability)."""
+    got = {r["id"]: [r[f"mh{i}"] for i in range(8)] for r in
+           DD.oph_signatures(docs, num_perm=8).collect()}
+    assert set(got) == {1, 2, 3, 4}  # doc 5 has no shingles
+    for doc_id, text in DOCS:
+        want = _py_oph_sig(text)
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, f"doc {doc_id}"
+    assert got[1] == got[2]  # identical docs -> identical signatures
+
+
+def test_oph_dedup_verified_pairs_are_exact(docs):
+    """OPH banding is approximate, but every emitted pair carries the
+    EXACT Jaccard (shared verification join): identical docs always
+    collide (all slots equal); emitted jaccard values equal the
+    brute-force jaccard_pairs values; shingle-less docs never appear."""
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           DD.minhash_oph_dedup(docs, num_perm=8, bands=4, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             DD.jaccard_pairs(docs, threshold=0.3).collect()}
+    for pair, j in out.items():
+        assert exact[pair] == j
+    assert not any(5 in p for p in out)
+    with pytest.raises(ValueError):  # half-specified banding is an error
+        DD.minhash_oph_dedup(docs, num_perm=8)

@@ -45,6 +45,7 @@ _EXECUTES_IN_BUILDER = {
 _SCALAR_BROADCAST_OK = {
     "lm_unigram_score",   # corpus token total (1 row)
     "pagerank2",          # node count n (1 row)
+    "dedup_semantic",     # k=8 seed-centroid table fanned into every row
 }
 
 # SinglePartition exchanges allowed: reductions whose input is already

@@ -155,3 +155,29 @@ def test_sign_lsh_recall_on_planted_neardups(spark):
         assert exact[pair] == sim  # subset with exact values
     recall = len(set(lsh) & set(exact)) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_semantic_dedup_cell_local_prune(spark):
+    """SemDeDup shape: cells come from the nearest of k seed centroids
+    (k lowest ids); pruning is strictly CELL-LOCAL — a vector similar to
+    a lower-id vector in ANOTHER cell is kept; within a cell the lowest
+    id survives and later near-dups (cosine >= threshold) drop."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),    # seed B
+        (2, [0.99, 0.01, 0.0, 0.0]),  # cell A, near-dup of 0 -> dropped
+        (3, [0.0, 0.98, 0.02, 0.0]),  # cell B, near-dup of 1 -> dropped
+        (4, [0.0, 0.0, 1.0, 0.0]),    # cell A or B by tie-break, far from all -> kept
+        (5, [0.97, 0.03, 0.0, 0.0]),  # cell A, near-dup of 0 -> dropped
+    ]
+    emb = spark.createDataFrame(vecs, schema="vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cell, r.keep) for r in
+           SIM.semantic_dedup(emb, k=2, threshold=0.9).collect()}
+    assert len(out) == 6
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[2][0] == 0 and out[2][1] is False
+    assert out[3][0] == 1 and out[3][1] is False
+    assert out[5][0] == 0 and out[5][1] is False
+    # vector 4 is orthogonal to both seeds (sim 0 to each): tie breaks
+    # to the lowest seed id, and nothing in its cell is within threshold
+    assert out[4] == (0, True)
