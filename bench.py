@@ -51,7 +51,10 @@ BENCH_QUERIES = [
     "fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_oph",
+    "dedup_passages",
     "dedup_simhash",
+    "dedup_semantic",
     "dedup_embedding",
     "knn_bruteforce",
     "knn_lsh",
@@ -71,6 +74,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_redact",
     "lm_unigram_score",
+    "dsir_score",
     "dedup_incremental",
     # reads its persisted corpus index (built once, amortized across
     # ingests — the production shape); its wall is the per-batch cost

@@ -500,18 +500,41 @@ def _oph_sig_from_shingles(sh: DataFrame, num_perm: int, hash_fn: str) -> DataFr
             for i in range(num_perm)
         ]
     )
-    dens = []
-    for i in range(num_perm):
-        c = F.when(F.col(f"raw{i}").isNotNull(), F.col(f"raw{i}"))
-        for j in range(1, num_perm):
-            src = F.col(f"raw{(i + j) % num_perm}")
-            if hash_fn == "md5":
-                v = md5i64(F.concat(F.lit(f"{j}:"), src.cast("string")))
-            else:
-                v = F.xxhash64(F.lit(j), src)
-            c = c.when(src.isNotNull(), v)
-        dens.append(c.alias(f"mh{i}"))
-    return raw.select("id", *dens)
+    P = num_perm
+    if P == 1:
+        # single bin: any doc with shingles fills it, nothing to densify
+        return raw.select("id", F.col("raw0").alias("mh0"))
+    # Densification via higher-order functions, NOT a per-slot CASE
+    # chain: the naive form is O(P²) expression-tree nodes with an md5
+    # at every branch — at P=128 that is ~16k hash expressions, which
+    # blows past the JIT method limit and falls out of whole-stage
+    # codegen (measured: 128-perm signatures slower than the salted
+    # path they should beat). transform+aggregate keep the tree O(P);
+    # the O(P²) borrow scan happens on array DATA at runtime, and the
+    # borrow hash is computed once per empty slot (the `acc IS NOT
+    # NULL` short-circuit keeps later iterations free).
+    if hash_fn == "md5":
+        borrow = (
+            "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', "
+            f"CAST(_arr[pmod(i + j, {P})] AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+    else:
+        borrow = f"xxhash64(j, _arr[pmod(i + j, {P})])"
+    dens_expr = f"""transform(sequence(0, {P - 1}), i ->
+      CASE WHEN _arr[i] IS NOT NULL THEN _arr[i]
+      ELSE aggregate(
+        sequence(1, {P - 1}),
+        CAST(NULL AS BIGINT),
+        (acc, j) -> CASE
+          WHEN acc IS NOT NULL THEN acc
+          WHEN _arr[pmod(i + j, {P})] IS NOT NULL THEN {borrow}
+          ELSE CAST(NULL AS BIGINT) END)
+      END)"""
+    return (
+        raw.withColumn("_arr", F.array(*[F.col(f"raw{i}") for i in range(P)]))
+        .withColumn("_dens", F.expr(dens_expr))
+        .select("id", *[F.col("_dens")[i].alias(f"mh{i}") for i in range(P)])
+    )
 
 
 def minhash_oph_dedup(

@@ -3179,6 +3179,117 @@ FROM s, tot
 """
 
 
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed n-gram
+    bag-of-words importance weights log p_target(doc) − log p_raw(doc).
+    Features are unigrams + bigrams hashed into ``_DSIR_BUCKETS``
+    int64 buckets (md5i64 % B — the portable hash discipline); the
+    target split is deterministic (doc_id % 10 < 2 plays the
+    curated-quality corpus, the rest the raw crawl), both bucket LMs
+    are Laplace-smoothed (+1 / +B). At 100 TB this is two shuffles:
+    one map-side-combinable groupBy(bucket) to fit both LMs (at most
+    B = 4096 rows out — broadcastable), and one groupBy(doc_id) for
+    the per-doc sums; the scoring join broadcasts the tiny bucket
+    table, so no doc-side shuffle is keyed on the Zipf-skewed feature.
+    Output: (doc_id, n_feats, dsir_logratio) — resample/filter by
+    thresholding the ratio (the paper's top-k selection is
+    ``stratified_sample`` over this column)."""
+    B = _DSIR_BUCKETS
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        TS.tokens(F.col("text")).alias("toks"),
+        ((F.col("doc_id") % 10) < 2).alias("is_tgt"),
+    )
+    grams = base.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1]))"
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "is_tgt", (DD.md5i64(F.col("g")) % B).alias("bucket"))
+    m = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cnt_r"),
+    )
+    tot = m.agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(m), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(
+                F.log10(F.col("cnt_t") + F.lit(1))
+                - F.log10(F.col("cnt_r") + F.lit(1))
+            ).alias("sum_delta"),
+        )
+    )
+    # same boundary-tie caveat as lm_unigram_score: a log10 sum has no
+    # exact integer re-expression; round(x, 6) is deterministic on the
+    # fixed fixture
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            F.col("sum_delta") / F.col("n_feats")
+            - F.log10(F.col("tot_t") + F.lit(B))
+            + F.log10(F.col("tot_r") + F.lit(B)),
+            6,
+        ).alias("dsir_logratio"),
+    )
+
+
+ORACLE_DSIR_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         (doc_id % 10) < 2 AS is_tgt
+  FROM documents
+), g AS (
+  SELECT doc_id, is_tgt,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS g
+  FROM base
+), f AS (
+  SELECT doc_id, is_tgt,
+         {_md5i64_sql("g")} % {_DSIR_BUCKETS} AS bucket
+  FROM g
+), m AS (
+  SELECT bucket,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_t,
+         sum(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) AS cnt_r
+  FROM f GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+         CAST(sum(cnt_r) AS BIGINT) AS tot_r
+  FROM m
+), s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         sum(log(cnt_t + 1) - log(cnt_r + 1)) AS sum_delta
+  FROM f JOIN m USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       round(sum_delta / n_feats
+             - log(tot_t + {_DSIR_BUCKETS})
+             + log(tot_r + {_DSIR_BUCKETS}), 6) AS dsir_logratio
+FROM s, tot
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup — the shape that actually runs at 100 TB:
     a NEW crawl batch (20% of docs by id hash here) is checked against
@@ -3683,6 +3794,7 @@ GROUP BY 1, 2
 # union of any two consecutive rounds covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
+    "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
     "dedup_minhash_oph": (q_dedup_minhash_oph, _minhash_oph_oracle()),
     "dedup_semantic": (q_dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),

@@ -44,6 +44,7 @@ _EXECUTES_IN_BUILDER = {
 # registry plan contains a BNLJ)
 _SCALAR_BROADCAST_OK = {
     "lm_unigram_score",   # corpus token total (1 row)
+    "dsir_score",         # 1-row corpus feature totals
     "pagerank2",          # node count n (1 row)
     "dedup_semantic",     # k=8 seed-centroid table fanned into every row
 }
@@ -54,6 +55,7 @@ _SINGLE_PARTITION_OK = {
     "sequence_pack",      # 64 shard totals -> prefix offsets
     "group_weights",      # class-count reduction (|classes| rows)
     "lm_unigram_score",   # 1-row corpus total
+    "dsir_score",         # 1-row feature totals
     "pagerank2",          # 1-row node count
 }
 

@@ -373,3 +373,46 @@ def test_sequence_pack_edge_corpus_parity(spark, tmp_path):
     assert total == 0 + 1 + 0 + 3 + 2000 + 2 + 0 + 600
     big = next(r for r in rows if r["n_tokens"] == 2000)
     assert big["seq_end"] - big["seq_start"] >= 3  # spans many chunks
+
+
+def test_dsir_score_prefers_target_like_docs(spark, tmp_path):
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_dsir_score
+
+    # doc_id % 10 < 2 -> target corpus (quantum physics); the rest raw
+    # (spam). Held-out docs 15 (target-like) and 16 (raw-like) must
+    # rank by their resemblance to the target LM.
+    tgt = "quantum field theory entangles spin states in hilbert space"
+    raw = "buy cheap pills now click here free offer winner prize"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 10, 11, 2, 3, 15, 16],
+            "text": [tgt, tgt, tgt, tgt, raw, raw,
+                     "quantum spin states in hilbert space",
+                     "cheap pills free offer click"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r["doc_id"]: r["dsir_logratio"] for r in q_dsir_score(spark, str(tmp_path)).collect()}
+    assert got[15] > 0 > got[16]
+    assert len(got) == 8
+
+
+def test_dsir_score_handles_empty_and_single_token_docs(spark, tmp_path):
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_dsir_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 10, 11, 12],
+            "text": ["alpha beta", "alpha", "", "   "],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {r["doc_id"]: r for r in q_dsir_score(spark, str(tmp_path)).collect()}
+    # zero-token docs produce no features and drop out (both engines agree)
+    assert set(rows) == {0, 10}
+    assert rows[0]["n_feats"] == 3  # 2 unigrams + 1 bigram
+    assert rows[10]["n_feats"] == 1
