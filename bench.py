@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "lm_unigram_score",
     "dsir_score",
+    "link_graph",
     "dedup_incremental",
     # reads its persisted corpus index (built once, amortized across
     # ingests — the production shape); its wall is the per-batch cost

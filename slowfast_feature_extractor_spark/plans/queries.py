@@ -3785,6 +3785,70 @@ GROUP BY 1, 2
 """
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Href extraction → host-level link graph, the step that feeds
+    ``pagerank2`` and crawl scheduling: each doc is rendered into a
+    deterministic HTML page (its text plus 1-3 anchor tags whose
+    targets follow the pagerank2 edge scheme, hosts = id mod 97), the
+    hrefs are recovered with ``regexp_extract_all`` over the raw page
+    — the real crawl-pipeline extraction, not a lookup of the synth
+    rule — and aggregated into (src_host, dst_host, n_links). All
+    JVM-side: template + regex are map-only inside whole-stage
+    codegen; the single shuffle is the partial-agg groupBy on the
+    (src, dst) host pair, whose cardinality is bounded by hosts², not
+    docs. At 100 TB the regex scan is embarrassingly parallel and the
+    edge aggregate is the natural pre-reduction before any graph
+    algorithm consumes it."""
+    d = _docs(spark, sf_dir)
+    links = F.expr(
+        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
+        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
+        " '.example.com/p/', cast(doc_id as string), '\">x</a>'))"
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.array_join(links, ""),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    hrefs = pages.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(html, '<a href=\"([^\"]+)\"', 1)")
+        ).alias("href"),
+    )
+    return hrefs.groupBy(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com")
+        ).alias("src_host"),
+        F.regexp_extract(F.col("href"), "https://([^/]+)/", 1).alias("dst_host"),
+    ).agg(F.count(F.lit(1)).alias("n_links"))
+
+
+ORACLE_LINK_GRAPH = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><body><p>' || text || '</p>' ||
+         array_to_string(list_transform(range(1, 2 + CAST(doc_id % 3 AS INT)),
+           k -> '<a href="https://h' || CAST((doc_id * 7 + k) % 97 AS VARCHAR)
+                || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">x</a>'), '')
+         || '</body></html>' AS html
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS href
+  FROM h
+)
+SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' AS src_host,
+       regexp_extract(href, 'https://([^/]+)/', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM e
+GROUP BY 1, 2
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r5: the 29
@@ -3795,6 +3859,7 @@ GROUP BY 1, 2
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
+    "link_graph": (q_link_graph, ORACLE_LINK_GRAPH),
     "dedup_minhash_oph": (q_dedup_minhash_oph, _minhash_oph_oracle()),
     "dedup_semantic": (q_dedup_semantic, ORACLE_DEDUP_SEMANTIC),
     "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),

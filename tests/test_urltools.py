@@ -416,3 +416,20 @@ def test_dsir_score_handles_empty_and_single_token_docs(spark, tmp_path):
     assert set(rows) == {0, 10}
     assert rows[0]["n_feats"] == 3  # 2 unigrams + 1 bigram
     assert rows[10]["n_feats"] == 1
+
+
+def test_link_graph_edge_mass_matches_outdegree_rule(spark):
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.plans.queries import q_link_graph, _docs
+
+    sf = "/root/testdata/sf0.001"
+    got = q_link_graph(spark, sf).agg(F.sum("n_links")).collect()[0][0]
+    want = (
+        _docs(spark, sf)
+        .select((1 + F.col("doc_id") % 3).alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    # every synthesized anchor is recovered by the regex, none invented
+    assert got == want
