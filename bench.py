@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "lm_unigram_score",
     "dsir_score",
     "link_graph",
+    "gopher_filter",
+    "anchor_text",
+    "tfidf_terms",
     "dedup_incremental",
     # reads its persisted corpus index (built once, amortized across
     # ingests — the production shape); its wall is the per-batch cost
