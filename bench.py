@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "gopher_filter",
     "anchor_text",
     "tfidf_terms",
+    "burst_detect",
+    # bucketed_join times write+join: the amortized-layout story is the
+    # point — the join/agg itself is shuffle-free (plan-asserted)
+    "bucketed_join",
     "dedup_incremental",
     # reads its persisted corpus index (built once, amortized across
     # ingests — the production shape); its wall is the per-batch cost

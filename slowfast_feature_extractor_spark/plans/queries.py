@@ -4050,6 +4050,116 @@ SELECT source, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-rate burst detection per entity: flag days where an
+    entity's event rate exceeds 2× its own mean daily rate — the
+    crawl-ops anomaly signal that drives politeness throttling and
+    re-crawl scheduling. Two cheap reduces: a partial-agg groupBy on
+    (entity, day) — cardinality entities×days, a massive reduction
+    from the raw event volume — then per-entity totals as window
+    functions over that already-reduced table. The burst predicate is
+    EXACT integer arithmetic (``cnt * n_days > 2 * total`` instead of
+    ``cnt > 2 * total/n_days`` in floats), so no boundary day can
+    flake on a rounding tie. At 100 TB the first reduce is map-side
+    combined and everything after it is negligible."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id")
+    return daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("total_cnt"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    ).withColumn(
+        "burst", F.col("cnt") * F.col("n_days") > 2 * F.col("total_cnt")
+    )
+
+
+ORACLE_BURST_DETECT = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, day, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total_cnt,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT user_id, day, cnt, total_cnt, n_days,
+       (cnt * n_days > 2 * total_cnt) AS burst
+FROM tot
+"""
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-storage co-located join — the Iceberg
+    bucket-partitioned layout that makes repeated joins and
+    aggregations on the same key SHUFFLE-FREE. Both sides are written
+    as parquet tables bucketed (8 buckets) and sorted on the join key;
+    the sort-merge join then reads bucket i against bucket i directly
+    and the downstream groupBy on the same key reuses the layout:
+    the executed plan contains ZERO shuffle exchanges
+    (mechanically asserted in tests/test_webquality.py). This is the
+    100-TB shape for fact⨝dim-by-entity pipelines: pay the
+    partitioning once at write time, amortize it over every subsequent
+    join/agg on that key. Money sums use the integer-cents discipline
+    so the hash never sits on a float-sum ordering boundary."""
+    import os
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wdir = tempfile.mkdtemp(prefix="sfe_bucketed_")
+    tag = os.path.basename(wdir).replace("sfe_bucketed_", "")
+    fact, dim = f"sfe_bkt_fact_{tag}", f"sfe_bkt_dim_{tag}"
+    cents = F.round(F.col("value") * 100).cast("long")
+    for name, df in (
+        (fact, ev.select("user_id", "event_type", cents.alias("cents"))),
+        (dim, ev.groupBy("user_id").agg(
+            F.countDistinct("event_type").alias("n_types"))),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(wdir, name))
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    a, b = spark.table(fact), spark.table(dim)
+    return (
+        a.hint("merge")
+        .join(b.hint("merge"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("n_types").alias("n_types"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+WITH fact AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), dim AS (
+  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+       max(d.n_types) AS n_types
+FROM fact f JOIN dim d USING (user_id)
+GROUP BY f.user_id
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r5: the 29
@@ -4060,6 +4170,8 @@ SELECT source, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r5 (never driver-verified) ---
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
+    "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),
+    "bucketed_join": (q_bucketed_join, ORACLE_BUCKETED_JOIN),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),

@@ -115,3 +115,53 @@ def test_tfidf_terms_contract(spark):
         assert len(rs) <= 3
         ordered = sorted(rs, key=lambda r: (-r["score"], r["term"]))
         assert [r["rnk"] for r in ordered] == list(range(1, len(rs) + 1))
+
+
+def test_burst_rule_is_exact_integer(spark, tmp_path):
+    import datetime as dt
+
+    from slowfast_feature_extractor_spark.plans.queries import q_burst_detect
+
+    # user 1: 3 days with counts (6, 3, 3) → total=12, n_days=3.
+    # day-0 rate check: 6*3=18 > 2*12=24 is FALSE (exactly 1.5× mean).
+    # user 2: counts (9, 2, 1) → 9*3=27 > 24 TRUE (2.25× mean).
+    rows = []
+    eid = 0
+    for uid, counts in ((1, (6, 3, 3)), (2, (9, 2, 1))):
+        for d, c in enumerate(counts):
+            for k in range(c):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": dt.datetime(2024, 1, 1 + d, 12, 0, k),
+                        "user_id": uid,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+    ev = pd.DataFrame(rows)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")  # Spark rejects NANOS parquet
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    got = {
+        (r["user_id"], r["day"]): r["burst"]
+        for r in q_burst_detect(spark, str(tmp_path)).collect()
+    }
+    assert not got[(1, "2024-01-01")]  # 1.5x mean: below the 2x bar
+    assert got[(2, "2024-01-01")]  # 2.25x mean: burst
+    assert not any(got[(u, f"2024-01-0{d}")] for u in (1, 2) for d in (2, 3))
+
+
+def test_bucketed_join_plan_is_shuffle_free(spark):
+    from slowfast_feature_extractor_spark.plans.queries import q_bucketed_join
+
+    df = q_bucketed_join(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # co-located SMJ over bucketed layout: no shuffle anywhere — not for
+    # the join, not for the downstream groupBy on the bucket key
+    assert "Exchange hashpartitioning" not in plan
+    assert "ShuffleExchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert df.count() > 0
