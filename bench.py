@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "anchor_text",
     "tfidf_terms",
     "burst_detect",
+    "warc_parse",
+    "crawl_schedule",
+    "url_frontier",
     # bucketed_join times write+join: the amortized-layout story is the
     # point — the join/agg itself is shuffle-free (plan-asserted)
     "bucketed_join",

@@ -4160,6 +4160,151 @@ GROUP BY f.user_id
 """
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-shard round-trip: render one WARC/1.0 response record per
+    document (JVM string expr), pack records into one blob per 50-doc
+    shard via the ordered-concat aggregate, then PARSE the blobs back
+    with the Arrow-batched record walker (sources/warc.py) — header
+    parse, Content-Length BYTE slicing, separator skip. The oracle
+    computes the expected (shard, url, n_bytes, payload_md5) directly
+    from the source table, so any framing, octet-count, or slicing
+    defect breaks the hash. The ingest analog of the reference's
+    container decode (reference/datasets/videoset.py:66-103): walk a
+    length-framed container, yield records. At 100 TB, WARC files are
+    the unit of parallelism and the walk is per-file sequential /
+    cross-file embarrassingly parallel — exactly this plan's shape
+    (one shuffle to form shards; real crawls skip it, reading WARCs
+    as-is)."""
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = W.warc_record(url, F.col("text"))
+    shards = W.build_shards(
+        d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
+    )
+    return W.parse_shards(shards)
+
+
+ORACLE_WARC_PARSE = """
+SELECT CAST(doc_id // 50 AS BIGINT) AS shard,
+       'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl scheduling: within each host, order the
+    frontier deterministically and assign fetch slots of 5 urls with a
+    10-second inter-slot delay — the per-host rate limit every real
+    crawler enforces. One shuffle (the per-host window sort); slot and
+    offset are exact-integer expressions of row_number, so the hash
+    can never sit on a float boundary. At 100 TB hosts are the natural
+    partition key and the heaviest host bounds the window's skew —
+    the same chunked-window treatment as sessionize applies if one
+    host dominates."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com")
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        d.select("doc_id", host.alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "host",
+            "doc_id",
+            "rn",
+            F.expr("(rn - 1) div 5").alias("slot"),
+            F.expr("((rn - 1) div 5) * 10").alias("fetch_offset_s"),
+        )
+    )
+
+
+ORACLE_CRAWL_SCHEDULE = """
+WITH f AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+), r AS (
+  SELECT host, doc_id,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS INT) AS rn
+  FROM f
+)
+SELECT host, doc_id, rn,
+       CAST((rn - 1) // 5 AS BIGINT) AS slot,
+       CAST(((rn - 1) // 5) * 10 AS BIGINT) AS fetch_offset_s
+FROM r
+"""
+
+
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier construction: urls DISCOVERED via href extraction
+    but not yet CRAWLED. Discovered urls are recovered from the raw
+    rendered pages with the same regex path as ``link_graph`` (real
+    extraction, not a lookup of the synth rule); the crawled set is
+    each page's own canonical url; the frontier is a LEFT ANTI join of
+    distinct discovered urls against the crawled set, carrying the
+    referrer count as crawl-priority signal. Shapes: one map-side
+    regex pass, one partial-agg reduce on the discovered url, one
+    anti-join keyed on the url — all shuffles keyed on bounded-skew
+    url strings. This is the P5 skip-if-done anti-join re-expressed as
+    the crawler's core scheduling query."""
+    d = _docs(spark, sf_dir)
+    links = F.expr(
+        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
+        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
+        " '.example.com/p/', cast(doc_id as string), '\">x</a>'))"
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        F.array_join(links, ""), F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    discovered = (
+        pages.select(
+            F.explode(
+                F.expr("regexp_extract_all(html, '<a href=\"([^\"]+)\"', 1)")
+            ).alias("url")
+        )
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_referrers"))
+    )
+    crawled = d.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return discovered.join(crawled, "url", "left_anti")
+
+
+ORACLE_URL_FRONTIER = """
+WITH e AS (
+  SELECT doc_id, k,
+         'https://h' || CAST((doc_id * 7 + k) % 97 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents, LATERAL unnest(range(1, 2 + CAST(doc_id % 3 AS INT))) AS t(k)
+), disc AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_referrers FROM e GROUP BY url
+), crawled AS (
+  SELECT 'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT d.url, d.n_referrers
+FROM disc d ANTI JOIN crawled c ON d.url = c.url
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r5: the 29
@@ -4172,6 +4317,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
     "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),
     "bucketed_join": (q_bucketed_join, ORACLE_BUCKETED_JOIN),
+    "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
+    "crawl_schedule": (q_crawl_schedule, ORACLE_CRAWL_SCHEDULE),
+    "url_frontier": (q_url_frontier, ORACLE_URL_FRONTIER),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),

@@ -165,3 +165,69 @@ def test_bucketed_join_plan_is_shuffle_free(spark):
     assert "SortMergeJoin" in plan
     assert "Bucketed: true" in plan
     assert df.count() > 0
+
+
+def test_warc_roundtrip_hostile_payloads(spark):
+    """Payloads that CONTAIN header-like bytes must not desynchronize
+    the walk: the parser slices by Content-Length, never by sentinel
+    scan. Also exercises multi-byte UTF-8 (octet_length != char count)."""
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    rows = [
+        (0, "plain ascii payload"),
+        # embedded record magic + blank lines inside the payload
+        (1, "WARC/1.0\r\n\r\nContent-Length: 999\r\n\r\nfake"),
+        (2, "café — ümläüts 中文"),
+        (3, ""),  # empty payload: Content-Length 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = W.warc_record(
+        F.concat(F.lit("https://x/p/"), F.col("doc_id").cast("string")),
+        F.col("text"),
+    )
+    shards = W.build_shards(
+        df, shard=F.lit(0).cast("long"), order=F.col("doc_id"), record=rec
+    )
+    got = {r["url"]: r for r in W.parse_shards(shards).collect()}
+    import hashlib
+
+    assert len(got) == 4
+    for doc_id, text in rows:
+        r = got[f"https://x/p/{doc_id}"]
+        assert r["n_bytes"] == len(text.encode("utf-8"))
+        assert r["payload_md5"] == hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def test_crawl_schedule_slot_contract(spark):
+    from slowfast_feature_extractor_spark.plans.queries import q_crawl_schedule
+
+    rows = q_crawl_schedule(spark, "/root/testdata/sf0.001").collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+        assert r["slot"] == (r["rn"] - 1) // 5
+        assert r["fetch_offset_s"] == r["slot"] * 10
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        # no slot ever exceeds the 5-url politeness budget
+        from collections import Counter
+
+        assert max(Counter(r["slot"] for r in rs).values()) <= 5
+
+
+def test_url_frontier_disjoint_from_crawled(spark):
+    from slowfast_feature_extractor_spark.plans.queries import q_url_frontier
+
+    sf = "/root/testdata/sf0.001"
+    frontier = q_url_frontier(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    crawled = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    assert frontier.join(crawled, "url", "inner").count() == 0
+    assert frontier.count() > 0
+    assert frontier.filter("n_referrers < 1").count() == 0
