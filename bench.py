@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "warc_parse",
     "crawl_schedule",
     "url_frontier",
+    "robots_filter",
+    "funnel_stats",
     # bucketed_join times write+join: the amortized-layout story is the
     # point — the join/agg itself is shuffle-free (plan-asserted)
     "bucketed_join",

@@ -4305,6 +4305,157 @@ FROM disc d ANTI JOIN crawled c ON d.url = c.url
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance with LONGEST-MATCH rule resolution (the
+    Google robots spec: the most specific matching rule wins; on a
+    length tie, Allow beats Disallow). A deterministic per-host rule
+    table is synthesized (host%3==0: disallow /p/1 prefix; host%3==1:
+    disallow /p/ but allow /p/2 — the allow-overrides-disallow case;
+    host%3==2: no rules), joined to the crawl frontier on host —
+    a BROADCAST join, robots corpora are tiny next to the crawl —
+    prefix-matched with startswith, and resolved per url by the
+    rank-filter shape (longest prefix first, Allow on ties) that
+    compiles to WindowGroupLimit. Pages matching no rule are allowed
+    (left join + coalesce). At 100 TB: rules broadcast, pages stream
+    map-side through match+rank; the only wide exchange is the per-url
+    window, keyed on the url (unskewed by construction)."""
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = spark.range(97).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 3).alias("m"),
+    )
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.when(F.col("m") == 0, F.array(F.struct(F.lit("/p/1").alias("prefix"), F.lit(False).alias("allow"))))
+            .when(
+                F.col("m") == 1,
+                F.array(
+                    F.struct(F.lit("/p/").alias("prefix"), F.lit(False).alias("allow")),
+                    F.struct(F.lit("/p/2").alias("prefix"), F.lit(True).alias("allow")),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<prefix:string,allow:boolean>>"))
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+    matched = pages.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    best = (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("prefix").alias("matched_rule"), F.col("allow").alias("rule_allow"))
+    )
+    return (
+        pages.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce("matched_rule", F.lit("")).alias("matched_rule"),
+            F.coalesce("rule_allow", F.lit(True)).alias("allowed"),
+        )
+    )
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH pages AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+         '/p/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), rules AS (
+  SELECT 'h' || CAST(id AS VARCHAR) AS host, '/p/1' AS prefix, FALSE AS allow
+  FROM range(97) t(id) WHERE id % 3 = 0
+  UNION ALL
+  SELECT 'h' || CAST(id AS VARCHAR), '/p/', FALSE FROM range(97) t(id) WHERE id % 3 = 1
+  UNION ALL
+  SELECT 'h' || CAST(id AS VARCHAR), '/p/2', TRUE FROM range(97) t(id) WHERE id % 3 = 1
+), matched AS (
+  SELECT p.doc_id, r.prefix, r.allow,
+         row_number() OVER (PARTITION BY p.doc_id
+             ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+  FROM pages p JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.prefix)
+)
+SELECT p.doc_id, p.host, p.path,
+       coalesce(m.prefix, '') AS matched_rule,
+       coalesce(m.allow, TRUE) AS allowed
+FROM pages p LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
+  ON p.doc_id = m.doc_id
+"""
+
+
+def q_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-funnel observability: per-source retention counts
+    through the cleaning cascade (raw → Gopher rules → first-occurrence
+    exact dedup → both), the accounting every production corpus build
+    publishes alongside its output. Flags are computed once in a single
+    pass; the dedup stage is the Lee-et-al. first-occurrence-wins rule
+    (row_number over the content fingerprint, ordered by doc_id). Two
+    shuffles total: the fingerprint window and the per-source partial
+    agg — both keyed on high-cardinality / bounded keys. All counts
+    are exact integers; at 100 TB this runs as a side output of the
+    cleaning job itself, not a separate scan."""
+    d = _docs(spark, sf_dir)
+    toks = TS.tokens(F.col("text"))
+    w_ = F.size(toks)
+    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stops = TS.stopword_count(F.col("text"))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    keep = (
+        (w_ >= 30) & (w_ <= 100000)
+        & (chars >= 4 * w_) & (chars <= 10 * w_)
+        & (5 * alpha >= 4 * w_) & (stops >= 2)
+    )
+    flagged = d.select(
+        "doc_id", "source", keep.alias("keep"), F.md5("text").alias("fp")
+    )
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    staged = flagged.withColumn("uniq", F.row_number().over(wfp) == 1)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_gopher"),
+        F.sum(F.col("uniq").cast("long")).alias("n_unique"),
+        F.sum((F.col("keep") & F.col("uniq")).cast("long")).alias("n_final"),
+    )
+
+
+ORACLE_FUNNEL_STATS = f"""
+WITH b AS (
+  SELECT doc_id, source, md5(text) AS fp,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains({_STOPS_SQL}, x))) AS stops,
+    len(list_filter(string_split(text, ' '),
+        x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS alpha
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+    (w >= 30 AND w <= 100000 AND chars >= 4 * w AND chars <= 10 * w
+     AND 5 * alpha >= 4 * w AND stops >= 2) AS keep,
+    (row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS uniq
+  FROM b
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN keep AND uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM s
+GROUP BY source
+"""
+
+
 # Ordering contract: the driver caps its per-round correctness sweep at
 # 50 rows, and dict order decides who is in it. NEW rows (never driver-
 # verified) lead, then rows whose last green round is OLDEST (r5: the 29
@@ -4320,6 +4471,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
     "crawl_schedule": (q_crawl_schedule, ORACLE_CRAWL_SCHEDULE),
     "url_frontier": (q_url_frontier, ORACLE_URL_FRONTIER),
+    "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
+    "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),

@@ -231,3 +231,38 @@ def test_url_frontier_disjoint_from_crawled(spark):
     assert frontier.join(crawled, "url", "inner").count() == 0
     assert frontier.count() > 0
     assert frontier.filter("n_referrers < 1").count() == 0
+
+
+def test_robots_longest_match_semantics(spark):
+    from slowfast_feature_extractor_spark.plans.queries import q_robots_filter
+
+    rows = q_robots_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        h = int(r["host"][1:])
+        tail = r["path"][len("/p/") :]
+        if h % 3 == 0:
+            # single disallow rule on the /p/1 prefix
+            assert r["allowed"] == (not tail.startswith("1"))
+            assert r["matched_rule"] == ("/p/1" if tail.startswith("1") else "")
+        elif h % 3 == 1:
+            # allow /p/2 overrides disallow /p/ (longest match wins)
+            assert r["allowed"] == tail.startswith("2")
+            assert r["matched_rule"] == ("/p/2" if tail.startswith("2") else "/p/")
+        else:
+            assert r["allowed"] and r["matched_rule"] == ""
+
+
+def test_funnel_stats_invariants(spark):
+    from slowfast_feature_extractor_spark.plans.queries import (
+        q_funnel_stats,
+        q_gopher_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_funnel_stats(spark, sf).collect()
+    for r in rows:
+        assert r["n_final"] <= min(r["n_gopher"], r["n_unique"]) <= r["n_raw"]
+    # stage-1 mass equals the standalone gopher filter's keep count
+    total_gopher = sum(r["n_gopher"] for r in rows)
+    assert total_gopher == q_gopher_filter(spark, sf).filter("keep").count()
