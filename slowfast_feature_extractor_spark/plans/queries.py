@@ -4514,11 +4514,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
-    # --- r4-green rows whose code changed in r5, then flagships ---
-    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
-    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
+    # --- flagships first (their composition changed in r5: zero-job
+    # auto-chunk); with 19 new rows + 29 r3-green rows ahead, exactly
+    # these two more fit the driver's 50-row cap ---
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
+    # --- below the cap: r4-green, locally oracle-green every round ---
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
+    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
     "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
