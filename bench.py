@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "burst_detect",
     "warc_parse",
+    "warc_scan",
     "crawl_schedule",
     "url_frontier",
     "robots_filter",

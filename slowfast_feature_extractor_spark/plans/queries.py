@@ -4201,6 +4201,54 @@ FROM documents
 """
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION WARC read path: shard blobs land as real FILES on
+    disk and are scanned with Spark's ``binaryFile`` source — one file
+    per row, NO shuffle to read (the shard-forming aggregate in
+    ``warc_parse`` exists only because the sandbox synthesizes shards;
+    a real crawl already ships as WARC files). The same
+    Content-Length-framed walker (sources/warc.py) parses each file.
+    Same oracle as ``warc_parse`` — the transport (groupBy blob vs
+    on-disk file) must not change a single parsed byte. At 100 TB this
+    is the ingest plan: files are the unit of parallelism, the scan is
+    map-only, and the first shuffle in the pipeline belongs to
+    whatever operator CONSUMES the records."""
+    import os
+    import tempfile
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = W.warc_record(url, F.col("text"))
+    shards = W.build_shards(
+        d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
+    )
+    wdir = tempfile.mkdtemp(prefix="sfe_warc_")
+    # executors write one .warc file per shard row (no driver collect —
+    # blob bytes never visit the driver; a real crawl's files already
+    # exist, this is fixture construction in the crawl's own shape)
+    def _write_files(rows):
+        for row in rows:
+            path = os.path.join(wdir, f"shard-{row['shard']:05d}.warc")
+            with open(path, "wb") as f:
+                f.write(bytes(row["blob"]))
+
+    shards.foreachPartition(_write_files)
+    files = spark.read.format("binaryFile").load(wdir).select(
+        F.regexp_extract(F.col("path"), r"shard-(\d+)\.warc", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("content").alias("blob"),
+    )
+    return W.parse_shards(files)
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl scheduling: within each host, order the
     frontier deterministically and assign fetch slots of 5 urls with a
@@ -4473,6 +4521,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "url_frontier": (q_url_frontier, ORACLE_URL_FRONTIER),
     "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
     "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
+    "warc_scan": (q_warc_scan, ORACLE_WARC_PARSE),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
@@ -4514,9 +4563,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
-    # --- flagships first (their composition changed in r5: zero-job
-    # auto-chunk); with 19 new rows + 29 r3-green rows ahead, exactly
-    # these two more fit the driver's 50-row cap ---
+    # --- flagship first (its composition changed in r5: zero-job
+    # auto-chunk); with 20 new rows + 29 r3-green rows ahead, exactly
+    # one more fits the driver's 50-row cap. The chunked twin sits
+    # right behind it (r4-green, same oracle, locally green) ---
     "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
     # --- below the cap: r4-green, locally oracle-green every round ---

@@ -266,3 +266,53 @@ def test_funnel_stats_invariants(spark):
     # stage-1 mass equals the standalone gopher filter's keep count
     total_gopher = sum(r["n_gopher"] for r in rows)
     assert total_gopher == q_gopher_filter(spark, sf).filter("keep").count()
+
+
+def test_warc_roundtrip_randomized_sweep(spark):
+    """Seeded randomized property sweep (one Spark job, 60 payloads):
+    arbitrary unicode, CRLF runs, WARC-header lookalikes, and long
+    payloads all round-trip byte-exactly through build_shards →
+    parse_shards, across multiple shards."""
+    import hashlib
+    import random
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    rng = random.Random(20260817)
+    alphabets = [
+        "abc \r\n:",
+        "WARC/1.0 Content-Length: \r\n",
+        "αβγ中文🙂 \t",
+        "".join(chr(c) for c in range(0x20, 0x7F)),
+    ]
+    rows = []
+    for i in range(60):
+        a = rng.choice(alphabets)
+        text = "".join(rng.choice(a) for _ in range(rng.randrange(0, 400)))
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = W.warc_record(
+        F.concat(F.lit("u/"), F.col("doc_id").cast("string")), F.col("text")
+    )
+    shards = W.build_shards(
+        df, shard=F.expr("doc_id div 7"), order=F.col("doc_id"), record=rec
+    )
+    got = {r["url"]: r for r in W.parse_shards(shards).collect()}
+    assert len(got) == 60
+    for i, text in rows:
+        b = text.encode("utf-8")
+        r = got[f"u/{i}"]
+        assert r["n_bytes"] == len(b)
+        assert r["payload_md5"] == hashlib.md5(b).hexdigest()
+        assert r["shard"] == i // 7
+
+
+def test_warc_scan_reads_files_without_shuffle(spark):
+    from slowfast_feature_extractor_spark.plans.queries import q_warc_scan
+
+    df = q_warc_scan(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # production read path: binaryFile scan -> Arrow parser, map-only
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert df.count() > 0
