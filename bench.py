@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "burst_detect",
     "warc_parse",
     "warc_scan",
+    "cdx_index",
     "crawl_schedule",
     "url_frontier",
     "robots_filter",

@@ -4249,6 +4249,83 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.parse_shards(files)
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style CDX index build: for every record, (url,
+    shard file, BYTE OFFSET within the shard, record byte length,
+    payload digest) — the index that makes a 100-TB WARC corpus
+    randomly addressable (fetch one record = one ranged read, no file
+    scan). The record length is computed in CLOSED FORM from the WARC
+    framing (header template + url octets + digits of Content-Length +
+    payload octets + separators) and the offset is a window cumsum of
+    those exact integers per shard in doc order — no parse pass over
+    the blobs at all. tests/test_webquality.py slices the REAL shard
+    blob at (offset, length) and re-parses the slice, proving the
+    arithmetic matches the bytes. One shuffle (the per-shard window);
+    everything else is map-only JVM arithmetic."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    n = F.octet_length("text")
+    # framing octets: "WARC/1.0\r\n" (10) + "WARC-Type: response\r\n"
+    # (21) + "WARC-Target-URI: " (17) + url + "\r\n" (2) +
+    # "Content-Length: " (16) + digits(n) + "\r\n\r\n" (4) + n + 4
+    rec_len = (
+        F.lit(10 + 21 + 17 + 2 + 16 + 4 + 4)
+        + F.octet_length(url)
+        + F.length(n.cast("string"))
+        + n
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.expr("doc_id div 50").alias("shard"),
+        rec_len.alias("rec_len"),
+        F.md5("text").alias("payload_md5"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "url",
+        F.concat(
+            F.lit("shard-"), F.lpad(F.col("shard").cast("string"), 5, "0"), F.lit(".warc")
+        ).alias("warc_file"),
+        F.coalesce(F.sum("rec_len").over(w), F.lit(0)).cast("long").alias("offset"),
+        "rec_len",
+        "payload_md5",
+    )
+
+
+ORACLE_CDX_INDEX = """
+WITH base AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         doc_id // 50 AS shard,
+         CAST(74 + octet_length(encode('https://h' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)))
+              + length(CAST(octet_length(encode(text)) AS VARCHAR))
+              + octet_length(encode(text)) AS BIGINT) AS rec_len,
+         md5(text) AS payload_md5
+  FROM documents
+)
+SELECT url,
+       'shard-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.warc' AS warc_file,
+       CAST(coalesce(sum(rec_len) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       rec_len,
+       payload_md5
+FROM base
+"""
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl scheduling: within each host, order the
     frontier deterministically and assign fetch slots of 5 urls with a
@@ -4522,6 +4599,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
     "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
     "warc_scan": (q_warc_scan, ORACLE_WARC_PARSE),
+    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
     "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
