@@ -168,3 +168,51 @@ def read_features(
         for c in half_precision_cols:
             df = df.withColumn(c, unpack(F.col(c)))
     return df
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 10^12-row table needs (Iceberg's ``rewrite_data_files``
+    re-expressed on plain parquet): a streaming ingest or a
+    high-parallelism write leaves thousands of KB-scale files whose
+    per-file open/footer cost dominates later scans. Reads the
+    directory, sizes the target file count from ACTUAL on-disk bytes
+    (parquet footers via the file index — no Spark job), and rewrites
+    with ``repartitionByRange`` over ``order_by`` (clustering
+    preserved for range-pruned reads; hash repartition when no order
+    given) into an atomic swap directory. Returns
+    {files_before, files_after, bytes} for the maintenance log.
+
+    Atomicity on plain parquet is rename-based (write to ``<path>
+    ._compact_tmp``, swap); on Iceberg the same logic is a snapshot
+    commit and readers never observe a partial state."""
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil, no Spark job
+    df = spark.read.parquet(path)
+    if order_by:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in order_by])
+        writer = out.sortWithinPartitions(*order_by).write
+    else:
+        out = df.repartition(n_out)
+        writer = out.write
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after, "bytes": total}

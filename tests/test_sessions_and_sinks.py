@@ -99,3 +99,55 @@ def test_fp16_sink_roundtrip_allclose(spark, pages_df, tmp_path):
         np.testing.assert_array_equal(
             vb, va.astype(np.float16).astype(np.float64)
         )
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    spark.range(10_000).withColumn("v", F.col("id") * 3).repartition(
+        64
+    ).write.parquet(path)
+    import os
+
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 64
+    before = spark.read.parquet(path).orderBy("id").collect()
+    stats = compact_files(spark, path, target_bytes=1 << 30, order_by=["id"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    after_df = spark.read.parquet(path)
+    assert after_df.orderBy("id").collect() == before
+    # range clustering: each output file covers a disjoint id range
+    # (single file here, so just assert the sort survived the rewrite)
+    got = [r["id"] for r in after_df.limit(5).collect()]
+    assert got == sorted(got)
+
+
+def test_compact_files_multi_output_ranges(spark, tmp_path):
+    import os
+
+    from slowfast_feature_extractor_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "frag2")
+    spark.range(50_000).repartition(32).write.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_files(spark, path, target_bytes=total // 4 + 1, order_by=["id"])
+    assert 2 <= stats["files_after"] <= 6
+    # disjoint id ranges per file = range pruning works post-compaction
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        pf = spark.read.parquet(os.path.join(path, f))
+        lo, hi = pf.agg({"id": "min"}).first()[0], pf.agg({"id": "max"}).first()[0]
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2
