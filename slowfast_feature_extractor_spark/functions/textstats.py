@@ -64,6 +64,31 @@ def quality_score(col: Column, stopwords: Sequence[str] = STOPWORDS_EN) -> Colum
     return F.round(len_sig * 0.4 + stop_ratio * 0.3 + shape_sig * 0.3, 6)
 
 
+def gopher_rules(col: Column) -> dict[str, Column]:
+    """Gopher-style quality rule flags (Rae et al. 2021 §A1.1) in EXACT
+    integer arithmetic — ``4*w <= chars <= 10*w`` instead of float
+    ``chars/w`` ratios, so no boundary document can flake on a rounding
+    tie in any engine. Returns {rule_word_count, rule_avg_word_len,
+    rule_alpha_ratio, rule_stopwords, keep}; shared by the standalone
+    ``gopher_filter`` row and the ``funnel_stats`` accounting row."""
+    toks = tokens(col)
+    w = F.size(toks)
+    chars = F.length(F.replace(col, F.lit(" "), F.lit("")))
+    stops = stopword_count(col)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    r_wc = (w >= 30) & (w <= 100000)
+    r_awl = (chars >= 4 * w) & (chars <= 10 * w)
+    r_alpha = 5 * alpha >= 4 * w
+    r_stop = stops >= 2
+    return {
+        "rule_word_count": r_wc,
+        "rule_avg_word_len": r_awl,
+        "rule_alpha_ratio": r_alpha,
+        "rule_stopwords": r_stop,
+        "keep": r_wc & r_awl & r_alpha & r_stop,
+    }
+
+
 def langid(col: Column, markers: Mapping[str, Sequence[str]] = LANG_MARKERS) -> Column:
     """N-gram-heuristic language ID: count marker-word hits per language,
     argmax with deterministic tie-break (ascending language code).

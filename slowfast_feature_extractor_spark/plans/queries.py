@@ -3866,22 +3866,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the natural first pass that shrinks the corpus before any
     shuffle-bearing operator runs."""
     d = _docs(spark, sf_dir)
-    toks = TS.tokens(F.col("text"))
-    w = F.size(toks)
-    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    stops = TS.stopword_count(F.col("text"))
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    r_wc = (w >= 30) & (w <= 100000)
-    r_awl = (chars >= 4 * w) & (chars <= 10 * w)
-    r_alpha = 5 * alpha >= 4 * w
-    r_stop = stops >= 2
+    rules = TS.gopher_rules(F.col("text"))
     return d.select(
-        "doc_id",
-        r_wc.alias("rule_word_count"),
-        r_awl.alias("rule_avg_word_len"),
-        r_alpha.alias("rule_alpha_ratio"),
-        r_stop.alias("rule_stopwords"),
-        (r_wc & r_awl & r_alpha & r_stop).alias("keep"),
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
     )
 
 
@@ -4531,16 +4518,7 @@ def q_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers; at 100 TB this runs as a side output of the
     cleaning job itself, not a separate scan."""
     d = _docs(spark, sf_dir)
-    toks = TS.tokens(F.col("text"))
-    w_ = F.size(toks)
-    chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    stops = TS.stopword_count(F.col("text"))
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    keep = (
-        (w_ >= 30) & (w_ <= 100000)
-        & (chars >= 4 * w_) & (chars <= 10 * w_)
-        & (5 * alpha >= 4 * w_) & (stops >= 2)
-    )
+    keep = TS.gopher_rules(F.col("text"))["keep"]
     flagged = d.select(
         "doc_id", "source", keep.alias("keep"), F.md5("text").alias("fp")
     )
