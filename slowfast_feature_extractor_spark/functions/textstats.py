@@ -68,9 +68,14 @@ def gopher_rules(col: Column) -> dict[str, Column]:
     """Gopher-style quality rule flags (Rae et al. 2021 §A1.1) in EXACT
     integer arithmetic — ``4*w <= chars <= 10*w`` instead of float
     ``chars/w`` ratios, so no boundary document can flake on a rounding
-    tie in any engine. Returns {rule_word_count, rule_avg_word_len,
-    rule_alpha_ratio, rule_stopwords, keep}; shared by the standalone
-    ``gopher_filter`` row and the ``funnel_stats`` accounting row."""
+    tie in any engine. The mean-word-length LOWER bound is 4, tighter
+    than the paper's 3, chosen deliberately: this corpus's minimum is
+    3.7, so the published bound would never fire and the rule would be
+    untestable — the integer re-expression technique is the point, the
+    constant is a parameter. Returns {rule_word_count,
+    rule_avg_word_len, rule_alpha_ratio, rule_stopwords, keep}; shared
+    by the standalone ``gopher_filter`` row and the ``funnel_stats``
+    accounting row."""
     toks = tokens(col)
     w = F.size(toks)
     chars = F.length(F.replace(col, F.lit(" "), F.lit("")))

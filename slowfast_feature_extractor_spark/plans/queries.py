@@ -3800,19 +3800,7 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge aggregate is the natural pre-reduction before any graph
     algorithm consumes it."""
     d = _docs(spark, sf_dir)
-    links = F.expr(
-        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
-        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
-        " '.example.com/p/', cast(doc_id as string), '\">x</a>'))"
-    )
-    html = F.concat(
-        F.lit("<html><body><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-        F.array_join(links, ""),
-        F.lit("</body></html>"),
-    )
-    pages = d.select("doc_id", html.alias("html"))
+    pages = d.select("doc_id", _page_html().alias("html"))
     hrefs = pages.select(
         "doc_id",
         F.explode(
@@ -3849,6 +3837,44 @@ GROUP BY 1, 2
 """
 
 
+def _synth_url() -> F.Column:
+    """Canonical url of a document's own page: host ``h{doc_id%97}``,
+    path ``/p/{doc_id}`` — the ONE definition the link-graph family
+    (link_graph, anchor_text, url_frontier) and the WARC family
+    (warc_parse, warc_scan, cdx_index) all share; cross-query
+    invariants (frontier∩crawled=∅, anchor mass = edge mass, CDX
+    offsets vs blobs) depend on these staying byte-identical."""
+    return F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _page_html(anchor_sql: str = "'x'") -> F.Column:
+    """Deterministic rendered page: the doc text plus 1-3 anchor tags
+    whose targets follow the pagerank2 edge scheme
+    (``h{(doc_id*7+k)%97}/p/{doc_id}``); ``anchor_sql`` is a SQL
+    expression (over ``doc_id`` and the tag index ``k``) for the
+    anchor text. Extraction queries run REAL regexes over this raw
+    page — never a lookup of the synth rule."""
+    links = F.expr(
+        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
+        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
+        " '.example.com/p/', cast(doc_id as string), '\">', "
+        + anchor_sql
+        + ", '</a>'))"
+    )
+    return F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.array_join(links, ""),
+        F.lit("</body></html>"),
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition-free quality gating (Rae et al. 2021
     §A1.1): per-document rule flags — word-count bounds, mean-word-
@@ -3858,8 +3884,10 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local predicates that run BEFORE any heavy featurization.
 
     Every rule is exact-integer arithmetic (``4*w <= chars <= 10*w``
-    instead of ``3 <= chars/w <= 10`` in floating point) so the flags
-    are bit-reproducible across engines and no boundary value can flake
+    instead of a float ``chars/w`` ratio test; the lower bound is 4,
+    deliberately tighter than the paper's 3 — see
+    ``textstats.gopher_rules`` for why) so the flags are
+    bit-reproducible across engines and no boundary value can flake
     on a rounding tie (the r4 advice item on round(x, 6)). Map-only:
     the whole query is one whole-stage-codegen projection over the
     scan with zero shuffles; at 100 TB it is embarrassingly parallel
@@ -3910,18 +3938,8 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_array before join — the same discipline as session type_seq.
     At 100 TB this is the standard one-reduce anchor corpus build."""
     d = _docs(spark, sf_dir)
-    tags = F.expr(
-        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
-        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
-        " '.example.com/p/', cast(doc_id as string), '\">w',"
-        " cast((doc_id * 11 + k * 5) % 31 as string), '</a>'))"
-    )
-    html = F.concat(
-        F.lit("<html><body><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-        F.array_join(tags, ""),
-        F.lit("</body></html>"),
+    html = _page_html(
+        anchor_sql="concat('w', cast((doc_id * 11 + k * 5) % 31 as string))"
     )
     pages = d.select("doc_id", html.alias("html"))
     atags = pages.select(
@@ -4082,6 +4100,13 @@ FROM tot
 """
 
 
+# previous-generation (table, data_dir) pairs created by q_bucketed_join /
+# q_warc_scan, cleared at each next invocation (the returned lazy plans
+# read the current generation, so cleanup cannot happen in the same call)
+_BUCKETED_GEN: list[tuple[str, str]] = []
+_WARC_SCAN_DIRS: list[str] = []
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-storage co-located join — the Iceberg
     bucket-partitioned layout that makes repeated joins and
@@ -4094,9 +4119,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape for fact⨝dim-by-entity pipelines: pay the
     partitioning once at write time, amortize it over every subsequent
     join/agg on that key. Money sums use the integer-cents discipline
-    so the hash never sits on a float-sum ordering boundary."""
+    so the hash never sits on a float-sum ordering boundary.
+
+    The previous invocation's catalog tables (and their mkdtemp data
+    dirs) are cleared on entry — the returned plan reads THIS call's
+    tables, so they cannot be dropped here; a long-lived driver
+    session holds one generation of sfe_bkt_* tables instead of
+    accumulating two per run."""
     import os
+    import shutil
     import tempfile
+
+    for stale_tbl, stale_dir in list(_BUCKETED_GEN):
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {stale_tbl}")
+        except Exception:
+            pass
+        if stale_dir and os.path.isdir(stale_dir):
+            shutil.rmtree(stale_dir, ignore_errors=True)
+        _BUCKETED_GEN.remove((stale_tbl, stale_dir))
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     wdir = tempfile.mkdtemp(prefix="sfe_bucketed_")
@@ -4116,6 +4157,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
+    _BUCKETED_GEN.extend([(fact, wdir), (dim, "")])
     a, b = spark.table(fact), spark.table(dim)
     return (
         a.hint("merge")
@@ -4165,12 +4207,7 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowfast_feature_extractor_spark.sources import warc as W
 
     d = _docs(spark, sf_dir)
-    url = F.concat(
-        F.lit("https://h"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.lit(".example.com/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _synth_url()
     rec = W.warc_record(url, F.col("text"))
     shards = W.build_shards(
         d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
@@ -4199,24 +4236,32 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-disk file) must not change a single parsed byte. At 100 TB this
     is the ingest plan: files are the unit of parallelism, the scan is
     map-only, and the first shuffle in the pipeline belongs to
-    whatever operator CONSUMES the records."""
+    whatever operator CONSUMES the records.
+
+    Fixture caveat: the .warc files are written by executor tasks into
+    a driver-created tmpdir, which is one filesystem ONLY in local
+    mode — on a real cluster this fixture step would target shared
+    storage (S3/HDFS), while the binaryFile READ path itself is
+    storage-agnostic. The previous invocation's fixture dir is removed
+    on entry so repeated runs don't accumulate corpus copies."""
     import os
     import tempfile
 
     from slowfast_feature_extractor_spark.sources import warc as W
 
     d = _docs(spark, sf_dir)
-    url = F.concat(
-        F.lit("https://h"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.lit(".example.com/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _synth_url()
     rec = W.warc_record(url, F.col("text"))
     shards = W.build_shards(
         d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
     )
+    import shutil
+
+    for stale in list(_WARC_SCAN_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _WARC_SCAN_DIRS.remove(stale)
     wdir = tempfile.mkdtemp(prefix="sfe_warc_")
+    _WARC_SCAN_DIRS.append(wdir)
     # executors write one .warc file per shard row (no driver collect —
     # blob bytes never visit the driver; a real crawl's files already
     # exist, this is fixture construction in the crawl's own shape)
@@ -4250,12 +4295,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic matches the bytes. One shuffle (the per-shard window);
     everything else is map-only JVM arithmetic."""
     d = _docs(spark, sf_dir)
-    url = F.concat(
-        F.lit("https://h"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.lit(".example.com/p/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = _synth_url()
     n = F.octet_length("text")
     # framing octets: "WARC/1.0\r\n" (10) + "WARC-Type: response\r\n"
     # (21) + "WARC-Target-URI: " (17) + url + "\r\n" (2) +
@@ -4371,16 +4411,7 @@ def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     url strings. This is the P5 skip-if-done anti-join re-expressed as
     the crawler's core scheduling query."""
     d = _docs(spark, sf_dir)
-    links = F.expr(
-        "transform(sequence(1, 1 + cast(doc_id % 3 as int)), k ->"
-        " concat('<a href=\"https://h', cast((doc_id * 7 + k) % 97 as string),"
-        " '.example.com/p/', cast(doc_id as string), '\">x</a>'))"
-    )
-    html = F.concat(
-        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
-        F.array_join(links, ""), F.lit("</body></html>"),
-    )
-    pages = d.select("doc_id", html.alias("html"))
+    pages = d.select("doc_id", _page_html().alias("html"))
     discovered = (
         pages.select(
             F.explode(
@@ -4390,12 +4421,7 @@ def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_referrers"))
     )
-    crawled = d.select(
-        F.concat(
-            F.lit("https://h"), (F.col("doc_id") % 97).cast("string"),
-            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
-        ).alias("url")
-    )
+    crawled = d.select(_synth_url().alias("url"))
     return discovered.join(crawled, "url", "left_anti")
 
 

@@ -190,15 +190,34 @@ def compact_files(
 
     Atomicity on plain parquet is rename-based (write to ``<path>
     ._compact_tmp``, swap); on Iceberg the same logic is a snapshot
-    commit and readers never observe a partial state."""
+    commit and readers never observe a partial state. A crash between
+    the two swap renames leaves ``<path>._compact_old`` holding the
+    complete pre-compaction data; the next call detects and completes
+    the recovery, and stale tmp/old directories from any earlier
+    failure are cleared up front so a crash can never wedge later
+    compactions. Hive-partitioned layouts (``key=val/`` subdirs) are
+    refused — rewriting them flat would silently destroy partition
+    pruning; compact each leaf partition directory instead."""
     import os
     import shutil
 
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # crash recovery: a previous run that died mid-swap left the data
+    # under `old` (and possibly no live `path` at all)
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+    entries = os.listdir(path)
+    if any("=" in e and os.path.isdir(os.path.join(path, e)) for e in entries):
+        raise NotImplementedError(
+            "compact_files on a Hive-partitioned layout would flatten it; "
+            "compact each leaf partition directory instead"
+        )
+    files = [os.path.join(path, f) for f in entries if f.endswith(".parquet")]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_bytes))  # ceil, no Spark job
     df = spark.read.parquet(path)
@@ -208,9 +227,7 @@ def compact_files(
     else:
         out = df.repartition(n_out)
         writer = out.write
-    tmp = path.rstrip("/") + "._compact_tmp"
     writer.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -77,7 +77,9 @@ def parse_shards(shards: DataFrame) -> DataFrame:
                 data = bytes(blob)
                 pos = 0
                 while pos < len(data):
-                    if not data[pos:].startswith(b"WARC/1.0"):
+                    # startswith(prefix, pos) — NOT data[pos:].startswith —
+                    # a tail slice per record would copy O(records x blob)
+                    if not data.startswith(b"WARC/1.0", pos):
                         raise ValueError(
                             f"shard {shard}: bad record magic at byte {pos}"
                         )

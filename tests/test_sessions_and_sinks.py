@@ -151,3 +151,34 @@ def test_compact_files_multi_output_ranges(spark, tmp_path):
     ranges.sort()
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 < l2
+
+
+def test_compact_files_recovers_from_mid_swap_crash(spark, tmp_path):
+    import os
+
+    from slowfast_feature_extractor_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "crash")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    # simulate a crash between the two swap renames: data sits in
+    # ._compact_old, live path is gone
+    os.rename(path, path + "._compact_old")
+    stats = compact_files(spark, path, target_bytes=1 << 30, order_by=["id"])
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(path).count() == 1_000
+
+
+def test_compact_files_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "hive")
+    spark.range(100).withColumn("k", F.col("id") % 3).write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(NotImplementedError):
+        compact_files(spark, path)
+    # and the refused table is untouched
+    assert spark.read.parquet(path).count() == 100
