@@ -101,7 +101,8 @@ BENCH_QUERIES = [
     "sessionize_chunked",
     "pit_dual_rate_chunked",
 ]
-# dedup_clusters / dedup_clusters_star are registry-checked but not
+# warc_streamed is registry-only (trigger/checkpoint latency, like
+# sessionize_streamed below). dedup_clusters / dedup_clusters_star are registry-checked but not
 # timed here: at fixture scale (59 pairs) the convergence loop
 # measures scheduler overhead, not throughput. sessionize_streamed is likewise registry-only: an
 # availableNow micro-batch run times trigger/checkpoint latency, not

@@ -4244,34 +4244,9 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage (S3/HDFS), while the binaryFile READ path itself is
     storage-agnostic. The previous invocation's fixture dir is removed
     on entry so repeated runs don't accumulate corpus copies."""
-    import os
-    import tempfile
-
     from slowfast_feature_extractor_spark.sources import warc as W
 
-    d = _docs(spark, sf_dir)
-    url = _synth_url()
-    rec = W.warc_record(url, F.col("text"))
-    shards = W.build_shards(
-        d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
-    )
-    import shutil
-
-    for stale in list(_WARC_SCAN_DIRS):
-        shutil.rmtree(stale, ignore_errors=True)
-        _WARC_SCAN_DIRS.remove(stale)
-    wdir = tempfile.mkdtemp(prefix="sfe_warc_")
-    _WARC_SCAN_DIRS.append(wdir)
-    # executors write one .warc file per shard row (no driver collect —
-    # blob bytes never visit the driver; a real crawl's files already
-    # exist, this is fixture construction in the crawl's own shape)
-    def _write_files(rows):
-        for row in rows:
-            path = os.path.join(wdir, f"shard-{row['shard']:05d}.warc")
-            with open(path, "wb") as f:
-                f.write(bytes(row["blob"]))
-
-    shards.foreachPartition(_write_files)
+    wdir = _warc_fixture_dir(spark, sf_dir)
     files = spark.read.format("binaryFile").load(wdir).select(
         F.regexp_extract(F.col("path"), r"shard-(\d+)\.warc", 1)
         .cast("long")
@@ -4279,6 +4254,83 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("blob"),
     )
     return W.parse_shards(files)
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus as on-disk ``shard-NNNNN.warc`` files
+    (executor tasks write them — no driver collect; a real crawl's
+    files already exist, this is fixture construction in the crawl's
+    own shape). Previous invocations' dirs are removed first so
+    repeated runs don't accumulate corpus copies."""
+    import os
+    import shutil
+    import tempfile
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    for stale in list(_WARC_SCAN_DIRS):
+        shutil.rmtree(stale, ignore_errors=True)
+        _WARC_SCAN_DIRS.remove(stale)
+    wdir = tempfile.mkdtemp(prefix="sfe_warc_")
+    _WARC_SCAN_DIRS.append(wdir)
+    d = _docs(spark, sf_dir)
+    rec = W.warc_record(_synth_url(), F.col("text"))
+    shards = W.build_shards(
+        d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
+    )
+
+    def _write_files(rows):
+        for row in rows:
+            path = os.path.join(wdir, f"shard-{row['shard']:05d}.warc")
+            with open(path, "wb") as f:
+                f.write(bytes(row["blob"]))
+
+    shards.foreachPartition(_write_files)
+    return wdir
+
+
+def q_warc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STREAMING WARC ingestion — continuous crawl intake as a
+    Structured Streaming job: ``readStream.format("binaryFile")`` over
+    the WARC shard directory (files arriving = micro-batches, 3 files
+    per trigger), each batch parsed by the same Content-Length-framed
+    Arrow walker and APPENDED to the record table. Run to completion
+    under ``availableNow`` into parquet and hashed against the SAME
+    batch oracle as ``warc_parse``/``warc_scan`` — batch, file-scan,
+    and streaming transports of the identical corpus must agree byte
+    for byte. Stateless map-only streaming (no watermark needed: every
+    record emits exactly once because the file source tracks consumed
+    filenames) — the production shape for a crawler that drops WARC
+    files onto storage continuously."""
+    import os
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    wdir = _warc_fixture_dir(spark, sf_dir)
+    base = os.path.join(wdir, "_stream")
+    os.makedirs(base, exist_ok=True)
+    stream = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed by the source; streaming requires
+        # stating it explicitly
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 3)
+        .option("pathGlobFilter", "*.warc")
+        .load(wdir)
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.warc", 1)
+            .cast("long")
+            .alias("shard"),
+            F.col("content").alias("blob"),
+        )
+    )
+    records = W.parse_shards(stream)
+    out = _run_available_now(records, base)
+    return spark.read.parquet(out).select(
+        "shard", "url", "n_bytes", "payload_md5"
+    )
 
 
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4603,6 +4655,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
     "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
     "warc_scan": (q_warc_scan, ORACLE_WARC_PARSE),
+    "warc_streamed": (q_warc_streamed, ORACLE_WARC_PARSE),
     "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
     "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
     "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
