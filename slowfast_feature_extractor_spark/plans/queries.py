@@ -4696,13 +4696,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "accuracy_per_class": (q_accuracy_per_class, ORACLE_ACCURACY_PER_CLASS),
     "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
     "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
+    # --- flagship (its composition changed in r5: zero-job auto-chunk).
+    # At 101 rows a 50-cap cannot cover everything in two rounds: with
+    # 22 never-verified rows + 27 r3-green rows ahead, exactly one slot
+    # remains and the flagship takes it. The sacrificed r3-green rows
+    # are the trivial set-op pair placed FIRST in the overflow (code
+    # unchanged since r2/r3, locally oracle-tested every round) so they
+    # lead the r6 rotation ---
+    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
-    # --- flagship first (its composition changed in r5: zero-job
-    # auto-chunk); with 20 new rows + 29 r3-green rows ahead, exactly
-    # one more fits the driver's 50-row cap. The chunked twin sits
-    # right behind it (r4-green, same oracle, locally green) ---
-    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
     "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
     # --- below the cap: r4-green, locally oracle-green every round ---
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
