@@ -664,16 +664,20 @@ def dedup_clusters_star(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("src"), F.least("u", "v").alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes come from the UNFILTERED pairs: a node whose only appearance
+    # is a self-pair (x, x) is its own singleton component and must
+    # still emit a row — dedup_clusters keeps it, so output-identity
+    # requires keeping it here too
     nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -296,6 +296,8 @@ def _jpeg_collect_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     while pos < len(data):
         b = data[pos]
         if b == 0xFF:
+            if pos + 1 >= len(data):
+                raise ValueError("truncated entropy stream: lone 0xFF at EOF")
             nxt = data[pos + 1]
             if nxt == 0x00:
                 out.append(0xFF)
@@ -566,7 +568,13 @@ def decode_jpeg(data: bytes):
             order: list[tuple[int, int, int]] = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                ci = next(i for i, x in enumerate(comps) if x["id"] == cid)
+                ci = next(
+                    (i for i, x in enumerate(comps) if x["id"] == cid), None
+                )
+                if ci is None:
+                    raise ValueError(
+                        f"SOS references component id {cid} absent from SOF"
+                    )
                 order.append((ci, tables >> 4, tables & 15))
             ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             scan = {
@@ -1381,6 +1389,10 @@ def sample_indices(n: int, k: int) -> list[int]:
     last when short (reference/test_net.py:62-74 + 126-136). Shared by
     :func:`frame_sample` (byte-slice frames) and :func:`video_features`
     (real decoded frames) so the two paths sample identically."""
+    if k < 1:
+        raise ValueError(f"sample_indices needs k >= 1, got {k}")
+    if n < 1:
+        raise ValueError(f"sample_indices needs n >= 1 frames, got {n}")
     stride = max(1, n // k)
     picked = list(range(0, n, stride))[:k]
     while len(picked) < k:
@@ -1403,8 +1415,17 @@ def video_features(
     (:func:`decode_jpeg` — only sampled frames pay the pixel decode,
     exactly the reference's frame-seek discipline), and emit one row
     per (doc, pathway, frame_idx) with the frame's exact integer RGB
-    sums. Undecodable blobs yield a single null row (P9 guard)."""
+    sums. Undecodable blobs yield a single null row (P9 guard) —
+    but PARAMETER errors are validated eagerly and raise, so a typo
+    (``num_frames < alpha`` → zero slow frames) cannot masquerade as
+    an entire corpus of undecodable media."""
     import numpy as np
+
+    if num_frames // alpha < 1:
+        raise ValueError(
+            f"num_frames // alpha must be >= 1 (got {num_frames}//{alpha}) — "
+            "the slow pathway would sample zero frames"
+        )
 
     val_cols = ["pathway", "frame_idx", "src_frame", "width", "height",
                 "bpp", "sum_r", "sum_g", "sum_b"]

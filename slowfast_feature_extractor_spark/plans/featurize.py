@@ -53,7 +53,15 @@ def _plan_is_bare_scan(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return not re.search(r"\b(Join|Generate|Union)\b", plan)
+    # every node that can EMIT MORE ROWS than its child: joins, explode
+    # (Generate), unions, cube/rollup (Expand), sampling with
+    # replacement (Sample), and arbitrary-cardinality Python stages
+    # (MapInPandas / FlatMap*) — footer totals bound none of these
+    return not re.search(
+        r"\b(Join|Generate|Union|Expand|Sample|MapInPandas"
+        r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|MapInArrow)\b",
+        plan,
+    )
 
 
 def _hot_entity_sketch(
@@ -72,7 +80,7 @@ def _hot_entity_sketch(
         files = [
             f[7:] if f.startswith("file://") else f for f in df.inputFiles()
         ]
-        if not files or not all(f.endswith(".parquet") or "/" in f for f in files):
+        if not files or not all(f.endswith(".parquet") for f in files):
             return None
         # one pass over footers to lay out (file, row_group) units
         units: list[tuple[str, int]] = []
@@ -101,7 +109,19 @@ def _hot_entity_sketch(
         return None
 
 
+# bounded memo for the composed-plan fallback's exact count, keyed on
+# the plan's semantic hash. CAVEAT: the hash covers the PLAN, not the
+# data — appending to the same path between compositions serves the
+# pre-append decision (both plans stay value-exact; only the perf
+# choice can go stale). Call clear_chunk_decision_cache() after
+# rewriting a table in place, or pass chunk_trunc explicitly.
 _EAGER_DECISION_CACHE: dict[int, str | None] = {}
+_EAGER_DECISION_CACHE_MAX = 256
+
+
+def clear_chunk_decision_cache() -> None:
+    """Drop memoized auto-chunk decisions (see cache caveat above)."""
+    _EAGER_DECISION_CACHE.clear()
 
 
 def auto_chunk_decision(
@@ -146,6 +166,8 @@ def auto_chunk_decision(
             .agg(F.max("__c"))
             .first()[0]
         )
+        if len(_EAGER_DECISION_CACHE) >= _EAGER_DECISION_CACHE_MAX:
+            _EAGER_DECISION_CACHE.pop(next(iter(_EAGER_DECISION_CACHE)))
         _EAGER_DECISION_CACHE[key] = (
             "day" if hot is not None and hot >= threshold else None
         )

@@ -2197,8 +2197,9 @@ def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation — the dominant encoding in real web crawls): per
     document a progressive JPEG of flat 8x8 blocks is synthesized via
     the 4-phase scan script (DC first Al=1, DC refinement, per-component
-    AC first + AC refinement with EOB-run coding), a third of the
-    documents additionally carrying DRI restart intervals, every 4th
+    AC first + AC refinement with EOB-run coding), two-thirds of the
+    documents additionally carrying DRI restart intervals (interval
+    doc_id%3 ∈ {1,2}; the remaining third has none), every 4th
     document grayscale — then pushed through the SAME decode → resize →
     channel-sum chain as the sequential `multimodal_jpeg` row
     (operators/multimodal.decode_jpeg, the SOF2 path). The oracle
@@ -3185,8 +3186,13 @@ _DSIR_BUCKETS = 4096
 def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scoring (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): hashed n-gram
-    bag-of-words importance weights log p_target(doc) − log p_raw(doc).
-    Features are unigrams + bigrams hashed into ``_DSIR_BUCKETS``
+    bag-of-words importance weights. ``dsir_logratio`` is the
+    PER-FEATURE mean, (log p_target(doc) − log p_raw(doc)) / n_feats —
+    a deliberate length normalization so ranking reflects per-token
+    target-likeness rather than document length; the paper's
+    unnormalized resampling weight is recovered as
+    ``dsir_logratio * n_feats``. Features are unigrams + bigrams
+    hashed into ``_DSIR_BUCKETS``
     int64 buckets (md5i64 % B — the portable hash discipline); the
     target split is deterministic (doc_id % 10 < 2 plays the
     curated-quality corpus, the rest the raw crawl), both bucket LMs
@@ -3421,8 +3427,11 @@ def incremental_index_dir(sf_dir: str) -> str:
 
     doc = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     st = os.stat(doc)
+    # nanosecond mtime: whole-second granularity let a file regenerated
+    # twice within one second (same byte size — deterministic
+    # generators do this) silently serve the PREVIOUS corpus's index
     tag = _hashlib.md5(
-        f"{doc}|{st.st_size}|{int(st.st_mtime)}".encode()
+        f"{doc}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"sfe_incr_index_{tag}")
 

@@ -36,12 +36,24 @@ def fp16_pack_udf():
     IEEE 754 half per element) — the engine analog of the reference's
     ``save_as_float16`` export option (reference/just_test_v1.py:
     705-711): halves feature-sink bytes at ~1e-3 relative precision.
-    Vectorized numpy astype, never per-row Python."""
+    The cast runs as ONE numpy astype over the batch's flattened
+    values (equal-length fast path — feature vectors are fixed-length
+    by construction); only the final per-row ``tobytes`` split is a
+    Python loop over views. Ragged/null batches fall back per-row."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def _pack(vs: pd.Series) -> pd.Series:
+        vals = vs.tolist()
+        # rows may arrive as numpy arrays: `None in vals` would compare
+        # elementwise — use identity checks
+        has_null = any(v is None for v in vals)
+        lens = {len(v) for v in vals if v is not None}
+        if len(lens) == 1 and not has_null:
+            d = lens.pop()
+            flat = np.asarray(vals, dtype="<f2").reshape(len(vals), d)
+            return pd.Series([row.tobytes() for row in flat], index=vs.index)
         return vs.map(
             lambda v: None
             if v is None
@@ -54,16 +66,31 @@ def fp16_pack_udf():
 def fp16_unpack_udf():
     """binary fp16 → array<float> (the read-side inverse of
     :func:`fp16_pack_udf`; values are exactly the fp16-rounded
-    originals)."""
+    originals). Equal-length batches cast in one numpy pass, like the
+    pack side."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<float>")
     def _unpack(bs: pd.Series) -> pd.Series:
-        return bs.map(
-            lambda b: None
-            if b is None
-            else np.frombuffer(bytes(b), dtype="<f2").astype("float32").tolist()
+        raw = [None if b is None else bytes(b) for b in bs]
+        lens = {len(b) for b in raw if b is not None}
+        if len(lens) == 1 and not any(b is None for b in raw):
+            n = len(raw)
+            flat = (
+                np.frombuffer(b"".join(raw), dtype="<f2")
+                .astype("float32")
+                .reshape(n, -1)
+            )
+            return pd.Series([row.tolist() for row in flat], index=bs.index)
+        return pd.Series(
+            [
+                None
+                if b is None
+                else np.frombuffer(b, dtype="<f2").astype("float32").tolist()
+                for b in raw
+            ],
+            index=bs.index,
         )
 
     return _unpack

@@ -336,3 +336,21 @@ def test_oph_dedup_verified_pairs_are_exact(docs):
     assert not any(5 in p for p in out)
     with pytest.raises(ValueError):  # half-specified banding is an error
         DD.minhash_oph_dedup(docs, num_perm=8)
+
+
+def test_dedup_clusters_star_keeps_self_pair_singletons(spark):
+    """A node whose only appearance is a self-pair (x, x) is its own
+    singleton component; both CC variants must emit its row (the star
+    variant once dropped it by filtering u != v before deriving the
+    node set)."""
+    from slowfast_feature_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (9, 9)], "id_a long, id_b long"
+    )
+    plain = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
+    star = sorted(tuple(r) for r in dedup_clusters_star(pairs).collect())
+    assert plain == star == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)]
