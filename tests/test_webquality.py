@@ -374,3 +374,98 @@ def test_cdx_offsets_address_real_bytes(spark):
             pos += r["rec_len"]
         shard = int(f[len("shard-") : -len(".warc")])
         assert pos == len(blobs[shard])  # the index covers every byte
+
+
+def test_robots_longest_match_randomized_vs_reference(spark, tmp_path):
+    """Randomized cross-check of the distributed longest-match
+    resolution against a direct Python implementation of the Google
+    robots rule (most specific prefix wins; Allow beats Disallow on
+    length ties; no match = allowed). Catches any drift between the
+    window-rank formulation and the spec."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(97)
+    hosts = [f"h{i}" for i in range(12)]
+    rules = []
+    for h in hosts:
+        for _ in range(rng.randrange(0, 5)):
+            prefix = "/" + "".join(
+                rng.choice("ab/") for _ in range(rng.randrange(1, 5))
+            )
+            rules.append((h, prefix, rng.random() < 0.5))
+    pages = []
+    for i in range(300):
+        h = rng.choice(hosts)
+        path = "/" + "".join(rng.choice("ab/") for _ in range(rng.randrange(0, 6)))
+        pages.append((i, h, path))
+
+    def ref_decision(host, path):
+        matching = [
+            (p, a) for (h, p, a) in rules if h == host and path.startswith(p)
+        ]
+        if not matching:
+            return True, ""
+        # longest prefix wins; Allow beats Disallow on a length tie
+        best = max(matching, key=lambda pa: (len(pa[0]), pa[1]))
+        return best[1], best[0]
+
+    pages_df = spark.createDataFrame(pages, "page_id long, host string, path string")
+    rules_df = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    matched = pages_df.join(F.broadcast(rules_df), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("page_id").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    best = (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("page_id", "prefix", "allow")
+    )
+    got = {
+        r["page_id"]: (r["allowed"], r["matched_rule"])
+        for r in pages_df.join(best, "page_id", "left")
+        .select(
+            "page_id",
+            F.coalesce("allow", F.lit(True)).alias("allowed"),
+            F.coalesce("prefix", F.lit("")).alias("matched_rule"),
+        )
+        .collect()
+    }
+    assert len(got) == 300
+    mismatches = []
+    for pid, host, path in pages:
+        want_allow, want_rule = ref_decision(host, path)
+        if got[pid][0] != want_allow:
+            mismatches.append((pid, host, path, got[pid], (want_allow, want_rule)))
+    assert not mismatches, mismatches[:5]
+
+
+def test_burst_detect_vs_pandas_reference(spark):
+    """Cross-check burst flags on the real events fixture against a
+    direct pandas groupby re-implementation of the exact-integer rule."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.plans.queries import q_burst_detect
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["day"]): (r["cnt"], r["total_cnt"], r["n_days"], r["burst"])
+        for r in q_burst_detect(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    daily = ev.groupby(["user_id", "day"]).size().rename("cnt").reset_index()
+    totals = daily.groupby("user_id")["cnt"].agg(["sum", "count"])
+    assert len(got) == len(daily)
+    for _, row in daily.iterrows():
+        tot, nd = totals.loc[row["user_id"]]
+        want = (
+            int(row["cnt"]),
+            int(tot),
+            int(nd),
+            int(row["cnt"]) * int(nd) > 2 * int(tot),
+        )
+        assert got[(row["user_id"], row["day"])] == want
