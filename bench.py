@@ -145,6 +145,11 @@ def _materialize(df) -> None:
 
 
 def _pages_parquet(spark, cache: str = PAGES_CACHE, knobs: dict | None = None) -> str:
+    # tag the cache dir with the knob values (same discipline as
+    # _spec_path): editing PAGES_KNOBS must regenerate the fixture, not
+    # silently reuse the old corpus
+    kn = knobs or PAGES_KNOBS
+    cache = cache + "-" + "-".join(f"{k}{v}" for k, v in sorted(kn.items()))
     if not os.path.isdir(cache):
         from slowfast_feature_extractor_spark.sources.pages import (
             gen_pages,
@@ -152,7 +157,7 @@ def _pages_parquet(spark, cache: str = PAGES_CACHE, knobs: dict | None = None) -
         )
 
         log(f"generating pages bench fixture at {cache} ...")
-        pdf = gen_pages(**(knobs or PAGES_KNOBS))
+        pdf = gen_pages(**kn)
         spark.createDataFrame(pdf, schema=pages_spark_schema()).repartition(
             64
         ).write.mode("overwrite").parquet(cache)
@@ -304,7 +309,7 @@ def scaling_workloads(spark, paths: dict[str, str]) -> dict[str, object]:
     }
 
 
-def run_scaling_suite(sf_dir: str, cpus: int, repeats: int = 2) -> dict:
+def run_scaling_suite(cpus: int, repeats: int = 2) -> dict:
     """Each workload repeated, best-of taken (isolates steady-state
     throughput from scheduler warmup)."""
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
@@ -382,7 +387,7 @@ def run_scaling(sf_dir: str, passes: int = 2) -> None:
     for p in range(passes):
         for cpus in levels:
             log(f"=== scaling run at local[{cpus}] (pass {p + 1}/{passes}) ===")
-            r = run_scaling_suite(sf_dir, cpus)
+            r = run_scaling_suite(cpus)
             if cpus not in results:
                 results[cpus] = r
             else:
@@ -478,12 +483,13 @@ def write_scaling_md(results: dict, levels, calib: dict[int, float]) -> dict:
     base = calib[levels[0]] / levels[0]
     for c in levels:
         md.append(f"| {c} | {calib[c] / 1e6:.0f}M | {calib[c] / (base * c):.2f} |")
-    ceil_spec = (calib[32] / calib[8]) / 4
-    ceil_diag = (calib[16] / calib[4]) / 4
+    (spec_lo, spec_hi), (diag_lo, diag_hi) = SCALING_PAIRS
+    ceil_spec = (calib[spec_hi] / calib[spec_lo]) / (spec_hi / spec_lo)
+    ceil_diag = (calib[diag_hi] / calib[diag_lo]) / (diag_hi / diag_lo)
     md += [
         "",
-        f"Host pure-CPU scaling efficiency: **{ceil_spec:.2f} at 8→32**,",
-        f"{ceil_diag:.2f} at 4→16 (max-merged over 3 passes; the",
+        f"Host pure-CPU scaling efficiency: **{ceil_spec:.2f} at {spec_lo}→{spec_hi}**,",
+        f"{ceil_diag:.2f} at {diag_lo}→{diag_hi} (max-merged over 3 passes; the",
         "hypervisor's throttling of the upper vCPUs varies by window —",
         "0.71 was measured at 8→32 in an earlier window of this same",
         "day). The ceiling bounds what ANY job can show on this box;",

@@ -109,7 +109,13 @@ def write_features(
 
     ``half_precision_cols`` names array<float> columns to store as
     packed fp16 binary (cast-on-write, reference's save_as_float16
-    analog); :func:`read_features` unpacks them back transparently."""
+    analog); :func:`read_features` unpacks them back transparently.
+
+    ``mode="overwrite"`` overwrites DYNAMICALLY — only the (day,
+    bucket) partitions present in ``df`` are replaced, matching the
+    Iceberg twin's ``overwritePartitions`` semantics. Spark's default
+    is STATIC overwrite, which would wipe the whole historical table
+    on an incremental re-run of one day's batch."""
     out = df.withColumn("day", F.to_date(F.col(ts_col))).withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(entity_col)), F.lit(buckets)).cast("int")
     )
@@ -117,7 +123,12 @@ def write_features(
         pack = fp16_pack_udf()
         for c in half_precision_cols:
             out = out.withColumn(c, pack(F.col(c)))
-    out.write.mode(mode).partitionBy("day", "bucket").parquet(path)
+    (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "bucket")
+        .parquet(path)
+    )
 
 
 def feature_table_writer(

@@ -47,7 +47,8 @@ def build_shards(
     ``order`` (the A9 ordered-concat shape: array_sort over structs,
     then project the record field) and cast to binary. One partial-agg
     shuffle keyed on the shard id; blob size is bounded by shard
-    sizing policy, not corpus size."""
+    sizing policy, not corpus size. ``shard`` must be an INTEGRAL
+    column — :func:`parse_shards` emits it as bigint."""
     packed = df.select(shard.alias("shard"), F.struct(order.alias("o"), record.alias("r")).alias("s"))
     return packed.groupBy("shard").agg(
         F.array_join(

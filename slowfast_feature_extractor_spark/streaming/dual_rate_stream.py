@@ -106,10 +106,23 @@ def streaming_dual_rate(
     late_counter=None,
 ) -> DataFrame:
     """event stream → feature stream
-    (entity, ts, fast_avg, fast_cnt, slow_avg, slow_cnt, n_hist_rows)."""
+    (entity, ts, fast_avg, fast_cnt, slow_avg, slow_cnt, n_hist_rows).
+
+    Eager validation (the bounded-state guarantee depends on it):
+    ``slow_rows`` must be >= ``fast_rows`` >= 1 — ``slow_rows=0`` would
+    make the state-truncation slice ``[-0:]`` a NO-OP (unbounded state
+    growth), and ``fast_rows > slow_rows`` would silently cap the fast
+    window at the truncated history length. The entity column's type is
+    taken from the input schema, not hardcoded."""
+    if not (1 <= fast_rows <= slow_rows):
+        raise ValueError(
+            f"need 1 <= fast_rows <= slow_rows, got fast={fast_rows} "
+            f"slow={slow_rows} (slow_rows=0 would unbound the state store)"
+        )
+    entity_type = events.schema[entity].dataType.simpleString()
     out_schema = (
-        f"{entity} string, {ts} timestamp, fast_avg double, fast_cnt long, "
-        "slow_avg double, slow_cnt long, n_hist_rows long"
+        f"{entity} {entity_type}, {ts} timestamp, fast_avg double, "
+        "fast_cnt long, slow_avg double, slow_cnt long, n_hist_rows long"
     )
     state_schema = "ts_us array<long>, vals array<double>, n_total long"
     fn = make_dual_rate_fn(entity, ts, measure, fast_rows, slow_rows, late_counter)

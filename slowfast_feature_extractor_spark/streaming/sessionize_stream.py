@@ -128,9 +128,12 @@ def streaming_sessionize(
     (streaming/metrics.make_late_counter) incremented per dropped
     beyond-watermark row."""
     gap_us = int(gap_seconds * 1_000_000)
+    # entity type from the input schema — hardcoding string broke any
+    # integer-keyed stream at Arrow conversion time
+    entity_type = events.schema[entity].dataType.simpleString()
     out_schema = (
-        f"{entity} string, session_start timestamp, session_end timestamp, "
-        "n_revisits long, measure_sum double"
+        f"{entity} {entity_type}, session_start timestamp, "
+        "session_end timestamp, n_revisits long, measure_sum double"
     )
     state_schema = "start_us long, end_us long, n long, s double"
     fn = make_sessionize_fn(entity, ts, measure, gap_us, late_counter)
