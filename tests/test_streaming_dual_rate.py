@@ -70,3 +70,20 @@ def test_streaming_matches_batch(spark, stream_dir, tmp_path):
             assert sa is None
         else:
             assert sa == pytest.approx(round(r["slow_avg"], 6), abs=1e-9)
+
+
+def test_streaming_dual_rate_validates_window_params(spark):
+    import pytest
+
+    from slowfast_feature_extractor_spark.streaming.dual_rate_stream import (
+        streaming_dual_rate,
+    )
+
+    events = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1.0)], "url string, warc_ts string, value double"
+    )
+    # slow_rows=0 would make the state-truncation slice a no-op
+    with pytest.raises(ValueError, match="slow_rows"):
+        streaming_dual_rate(events, slow_rows=0, fast_rows=0)
+    with pytest.raises(ValueError, match="fast_rows"):
+        streaming_dual_rate(events, fast_rows=128, slow_rows=64)
