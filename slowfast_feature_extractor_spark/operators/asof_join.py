@@ -83,6 +83,12 @@ def asof_join(
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     by = list(by)
+    # null right keys cannot be "the latest row <= left.on" — without
+    # this they sort NULLS FIRST and their payload is carried into
+    # every left row before the first real right row (pandas
+    # merge_asof rejects null keys outright; dropping matches its
+    # semantics for the right side; null LEFT keys simply get no match)
+    right = right.filter(F.col(on).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != on]
 
@@ -169,18 +175,31 @@ def asof_join(
 
     match: Column = F.col(_CARRIED)
     if tolerance_seconds is not None:
-        is_ts = left.schema[on].dataType.typeName().startswith("timestamp")
-        to_num = epoch_seconds if is_ts else (lambda c: c.cast("double"))
+        type_name = left.schema[on].dataType.typeName()
+        if type_name.startswith("timestamp"):
+            to_num = epoch_seconds
+        elif type_name == "date":
+            # DATE cannot cast to DOUBLE; days-since-epoch × 86400
+            def to_num(c):
+                return F.unix_date(c).cast("double") * 86400.0
+        else:
+            def to_num(c):
+                return c.cast("double")
         age = to_num(F.col(on)) - to_num(F.col(_CARRIED)["__ts"])
         match = F.when(age <= F.lit(float(tolerance_seconds)), F.col(_CARRIED))
 
+    # the match PROBE is always the matched __ts (non-null exactly when
+    # a match exists — right null keys are filtered above): probing a
+    # payload column would silently drop matched rows whose payload
+    # VALUE is null, and crash when right_cols is empty
+    internal_ts = matched_ts_col or "__asof_matched_ts"
     proj = [F.col(c) for c in left.columns]
-    if matched_ts_col:
-        proj.append(match["__ts"].alias(matched_ts_col))
+    proj.append(match["__ts"].alias(internal_ts))
     proj += [match[c].alias(out_names[c]) for c in right_cols]
     out = out.select(*proj)
 
     if how == "inner":
-        probe = matched_ts_col if matched_ts_col else out_names[right_cols[0]]
-        out = out.filter(F.col(probe).isNotNull())
+        out = out.filter(F.col(internal_ts).isNotNull())
+    if not matched_ts_col:
+        out = out.drop(internal_ts)
     return out

@@ -113,17 +113,35 @@ def run_with_checkpoint(
     )
     wall_ms = round((time.monotonic() - t0) * 1000, 1)
 
-    counts = {
-        r[0]: r[1]
-        for r in spark.read.parquet(output_dir)
-        .filter(F.col(bucket_col).isin(list(pending)))
-        .groupBy(bucket_col)
-        .count()
-        .collect()
-    }
+    # read-back caveats (both verified live): (a) partition-column TYPE
+    # INFERENCE turns a string bucket id '7' into int 7, so counts keys
+    # would never match string pending ids — disable inference for this
+    # read; (b) a compute_fn that filters out every row writes NO files,
+    # and reading the then-empty dir raises UNABLE_TO_INFER_SCHEMA —
+    # that legitimately means zero rows per bucket, and the ledger must
+    # still commit so the batch converges instead of recomputing forever
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    from pyspark.errors import AnalysisException
+
+    try:
+        counts = {
+            r[0]: r[1]
+            for r in spark.read.parquet(output_dir)
+            .filter(F.col(bucket_col).cast("string").isin([str(b) for b in pending]))
+            .groupBy(bucket_col)
+            .count()
+            .collect()
+        }
+    except AnalysisException:
+        counts = {}  # nothing was written: zero rows for every bucket
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    counts = {str(k): v for k, v in counts.items()}
     total_rows = 0
     for b in pending:
-        n = int(counts.get(b, 0))
+        n = int(counts.get(str(b), 0))
         _ledger_commit(
             ledger_dir,
             {
@@ -190,11 +208,12 @@ def run_with_checkpoint_iceberg(
     part = df.filter(F.col(bucket_col).isin(list(pending)))
     if compute_fn is not None:
         part = compute_fn(part)
-    writer = part.writeTo(table).partitionedBy(F.col(bucket_col))
     if spark.catalog.tableExists(table):
+        # existing table keeps its partition spec; replace only the
+        # pending buckets' partitions
         part.writeTo(table).overwritePartitions()
     else:
-        writer.create()
+        part.writeTo(table).partitionedBy(F.col(bucket_col)).create()
     wall_ms = round((time.monotonic() - t0) * 1000, 1)
     snap = last_snapshot_id(spark, table)
 

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from slowfast_feature_extractor_spark.functions.vector import (
-    cosine_similarity,
     dot_product,
     l2_norm,
 )
@@ -157,6 +156,12 @@ def knn_bruteforce_blocked(
 
     spark = corpus.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        # empty query side: same contract as knn_bruteforce (empty out);
+        # np.array([]) is 1-D and the axis-1 norm would raise AxisError
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -440,20 +445,25 @@ def knn_ivf(
 
         return cells
 
-    c = corpus.withColumn("cell", F.element_at(_cell_udf(1)(F.col(vec_col)), 1))
-    q = queries.withColumn(
+    dim = None
+    # norms precomputed ONCE per row (query side: before the n_probe
+    # explode) — inlining l2_norm in the scoring projection would
+    # re-reduce both arrays per candidate PAIR, 3x the hot-path work
+    c = corpus.withColumn(
+        "cell", F.element_at(_cell_udf(1)(F.col(vec_col)), 1)
+    ).withColumn("__cn", l2_norm(F.col(vec_col), dim))
+    q = queries.withColumn("__qn", l2_norm(F.col(query_vec_col), dim)).withColumn(
         "cell", F.explode(_cell_udf(n_probe)(F.col(query_vec_col)))
     )
     joined = c.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(query_id_col))
-    dim = None
     scored = joined.withColumn(
         "sim",
         F.round(
             _pair_cosine(
                 F.col(vec_col),
                 F.col(query_vec_col),
-                l2_norm(F.col(vec_col), dim),
-                l2_norm(F.col(query_vec_col), dim),
+                F.col("__cn"),
+                F.col("__qn"),
                 dim,
             ),
             6,

@@ -62,10 +62,19 @@ def chunk_carries(
     )
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__chunk", *order_cols], kind="mergesort")
+        # na_position='first' + factorize grouping: Spark windows order
+        # NULLS FIRST, so a null chunk (null ts) is the entity's
+        # EARLIEST chunk and must seed the carries — pandas' groupby
+        # default would silently DROP the NaT group, and its sort=True
+        # would place it last
+        pdf = pdf.sort_values(
+            ["__chunk", *order_cols], kind="mergesort", na_position="first"
+        )
+        codes, _ = pd.factorize(pdf["__chunk"], use_na_sentinel=False)
         out = []
         carry = pdf.iloc[0:0]
-        for c, rows in pdf.groupby("__chunk", sort=True):
+        for _, rows in pdf.groupby(codes, sort=False):
+            c = rows["__chunk"].iloc[0]
             if len(carry):
                 tgt = carry.copy()
                 tgt["__chunk"] = c

@@ -150,3 +150,60 @@ def test_asof_matches_pandas_merge_asof_property(spark):
                 w, g = wd[lid], gd[lid]
                 assert (pd.isna(w) and pd.isna(g)) or w == g, (
                     f"trial={trial} exact={exact} lid={lid}: {w} vs {g}")
+
+
+def test_asof_inner_keeps_matches_with_null_payload_values(spark):
+    from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 20)], "url string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u", 5, None), ("u", 15, 2.0)], "url string, ts long, v double"
+    )
+    got = {
+        r["ts"]: (r["v"], r["matched_ts"])
+        for r in asof_join(left, right, on="ts", by=["url"], how="inner").collect()
+    }
+    # ts=10 matched right ts=5 whose PAYLOAD v is null — a real match,
+    # must survive the inner filter
+    assert got == {10: (None, 5), 20: (2.0, 15)}
+    # and with matched_ts_col=None (the old probe-a-payload-column path)
+    got2 = asof_join(
+        left, right, on="ts", by=["url"], how="inner", matched_ts_col=None
+    ).count()
+    assert got2 == 2
+
+
+def test_asof_ignores_null_right_keys(spark):
+    from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame([("u", 10)], "url string, ts long")
+    right = spark.createDataFrame(
+        [("u", None, 99.0), ("u", 3, 1.0)], "url string, ts long, v double"
+    )
+    rows = asof_join(left, right, on="ts", by=["url"]).collect()
+    # the null-ts right row must never be carried as a match
+    assert rows[0]["v"] == 1.0 and rows[0]["matched_ts"] == 3
+
+
+def test_asof_tolerance_on_date_column(spark):
+    import datetime as dt
+
+    from slowfast_feature_extractor_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [("u", dt.date(2024, 1, 10))], "url string, d date"
+    )
+    right = spark.createDataFrame(
+        [("u", dt.date(2024, 1, 1), 1.0)], "url string, d date, v double"
+    )
+    # 9 days back; tolerance 10 days matches, 5 days does not
+    ok = asof_join(
+        left, right, on="d", by=["url"], tolerance_seconds=10 * 86400.0
+    ).collect()
+    assert ok[0]["v"] == 1.0
+    no = asof_join(
+        left, right, on="d", by=["url"], tolerance_seconds=5 * 86400.0
+    ).collect()
+    assert no[0]["v"] is None

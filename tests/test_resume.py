@@ -100,3 +100,49 @@ def test_iceberg_path_is_flag_gated(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="not Iceberg-backed"):
         run_with_checkpoint_iceberg(df, "icecat.db.features", str(tmp_path / "ledger"))
+
+
+def test_string_numeric_bucket_ids_count_correctly(spark, tmp_path):
+    """Partition-column type inference turns a string bucket id '7'
+    into int 7 on read-back; the ledger must still record real row
+    counts (it silently recorded 0 before the inference-disabled
+    read)."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(200)
+        .withColumn("bucket", (F.col("user_id") % 3).cast("string"))
+    )
+    res = run_with_checkpoint(
+        ev, str(tmp_path / "out"), str(tmp_path / "ledger"), bucket_col="bucket"
+    )
+    assert res["rows"] == 200
+    led = ledger_read(spark, str(tmp_path / "ledger"))
+    assert set(led) == {"0", "1", "2"}
+    total = sum(
+        r["n_rows"]
+        for r in spark.read.json(str(tmp_path / "ledger")).collect()
+    )
+    assert total == 200
+
+
+def test_zero_row_compute_fn_converges(spark, tmp_path):
+    """A compute_fn that filters out every row writes no files; the
+    ledger must still commit (n_rows=0) so the batch converges instead
+    of recomputing the same buckets forever."""
+    ev = _inputs(spark)
+    res = run_with_checkpoint(
+        ev,
+        str(tmp_path / "out"),
+        str(tmp_path / "ledger"),
+        compute_fn=lambda part: part.filter(F.lit(False)),
+    )
+    n_buckets = ev.select("bucket").distinct().count()
+    assert res["rows"] == 0 and len(res["processed"]) == n_buckets
+    # second run: everything skipped, nothing recomputed
+    res2 = run_with_checkpoint(
+        ev,
+        str(tmp_path / "out"),
+        str(tmp_path / "ledger"),
+        compute_fn=lambda part: part.filter(F.lit(False)),
+    )
+    assert res2["processed"] == [] and len(res2["skipped"]) == n_buckets

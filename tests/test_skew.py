@@ -236,3 +236,31 @@ def test_pit_flagship_fully_chunked_parity(spark):
     assert len(a) == len(b) and len(a) > 0
     for ra, rb in zip(a, b):
         assert ra.asDict() == rb.asDict(), (ra, rb)
+
+
+def test_chunked_dual_rate_parity_with_null_ts_rows(spark):
+    """Rows with null ts (null chunk) sort NULLS FIRST in the plain
+    operator; the chunked fold must treat the null chunk as the
+    entity's EARLIEST chunk (pandas groupby would silently drop it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.skew import (
+        dual_rate_features_chunked,
+    )
+    from slowfast_feature_extractor_spark.operators.windows import (
+        dual_rate_features,
+    )
+
+    rows = [("u", None, 1.0), ("u", None, 2.0)] + [
+        ("u", dt.datetime(2024, 1, 1 + d, 12, 0, 0), float(d)) for d in range(6)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, value double")
+    kw = dict(entity="url", ts="warc_ts", measure="value", fast_rows=2, slow_rows=4)
+    plain = dual_rate_features(df, **kw)
+    chunked = dual_rate_features_chunked(df, **kw)
+    cols = sorted(set(plain.columns) & set(chunked.columns))
+    a = sorted((tuple(r) for r in plain.select(*cols).collect()), key=str)
+    b = sorted((tuple(r) for r in chunked.select(*cols).collect()), key=str)
+    assert a == b
