@@ -28,8 +28,16 @@ def leakage_violations(
 
 def assert_no_leakage(features: DataFrame, ts: str = "warc_ts",
                       bound_col: str = "max_input_ts") -> int:
-    """Raise if any row leaks; return the number of audited rows."""
-    bad = leakage_violations(features, ts, bound_col).count()
+    """Raise if any row leaks; return the number of audited rows.
+    ONE pass over the relation: total and violation counts come from a
+    single aggregate (two separate .count() calls would scan and decode
+    the full feature output twice per backfill run)."""
+    total, bad = features.agg(
+        F.count(F.lit(1)),
+        F.count(
+            F.when(F.col(bound_col).isNotNull() & (F.col(bound_col) >= F.col(ts)), 1)
+        ),
+    ).first()
     if bad:
         raise AssertionError(f"temporal leakage: {bad} rows with {bound_col} >= {ts}")
-    return features.count()
+    return int(total)

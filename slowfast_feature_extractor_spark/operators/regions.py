@@ -29,7 +29,10 @@ def apply_content_regions(
     full html through."""
     joined = pages.join(regions, ["url", "warc_ts"], "left")
     sliced = F.when(
-        F.col("content_start").isNotNull(),
+        # BOTH bounds must be present: a half-null range (content_end
+        # missing) would make substring's length null and silently
+        # nullify the document instead of passing it through
+        F.col("content_start").isNotNull() & F.col("content_end").isNotNull(),
         # substring is 1-based; works on binary (returns binary)
         F.substring(
             F.col("html"),
@@ -41,8 +44,14 @@ def apply_content_regions(
 
 
 def host_of(url_col) -> F.Column:
-    """P6 key-parse: the host component of an https url."""
-    return F.regexp_extract(url_col, r"^https?://([^/]+)/", 1)
+    """P6 key-parse: the host component of an http(s) url — scheme
+    case-insensitive, path optional, port stripped (the naive
+    ``^https?://([^/]+)/`` form returned '' for 'https://example.com'
+    with no trailing slash and kept ':8443'). Host case is preserved
+    (full normalization lives in urltools.canonicalize_url)."""
+    return F.regexp_extract(
+        url_col, r"(?i)^https?://([^/:?#]+)(?::\d+)?(?:[/?#]|$)", 1
+    )
 
 
 def join_host_meta(
@@ -51,9 +60,17 @@ def join_host_meta(
     keep_tier: int | None = None,
 ) -> DataFrame:
     """Broadcast hash join against the host dimension; optionally keep
-    only hosts of one crawl tier (P4-style predicate-after-dim-lookup)."""
+    only hosts of one crawl tier (P4-style predicate-after-dim-lookup).
+
+    The join is LEFT: a page whose host is missing from the dimension
+    (a new host between dimension refreshes) keeps its row with null
+    meta columns instead of silently vanishing — the same
+    tolerate-missing contract as :func:`apply_content_regions`. The
+    ``keep_tier`` filter naturally drops unmatched rows (null tier),
+    reproducing the old inner-join semantics where the predicate is
+    applied."""
     enriched = pages.withColumn("host", host_of(F.col("url"))).join(
-        F.broadcast(host_meta), "host", "inner"
+        F.broadcast(host_meta), "host", "left"
     )
     if keep_tier is not None:
         enriched = enriched.filter(F.col("crawl_tier") == keep_tier)

@@ -68,12 +68,18 @@ def session_features(
     measure: str | None = "value",
     ordered_concat_cols: Sequence[str] = (),
     min_rows: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Aggregate each session: bounds, revisit count, measure stats, and
-    an *ordered* concatenation of the requested columns (oldest→newest;
-    ties broken by the full row struct) — the analog of the reference's
-    sort-segment-ids-then-concatenate task assembly
-    (reference/just_test_v1.py:636-641).
+    an *ordered* concatenation of the requested columns (oldest→newest)
+    — the analog of the reference's sort-segment-ids-then-concatenate
+    task assembly (reference/just_test_v1.py:636-641).
+
+    Duplicate-``ts`` ordering: pass the SAME ``tiebreak`` column used
+    when sessionizing (e.g. ``event_id``) so the concat order matches
+    the session-assignment order exactly; without one, equal-ts rows
+    order by (ts, concatenated value) — deterministic, but not
+    necessarily the assignment order.
 
     ``min_rows`` drops sessions below the threshold, mirroring the
     reference's ``min_segments_required`` flush gate
@@ -90,11 +96,16 @@ def session_features(
             F.avg(measure).alias("measure_avg"),
         ]
     for c in ordered_concat_cols:
-        # sort_array over structs keyed by ts gives a deterministic
-        # ordered concat without a second window/sort pass.
+        # sort_array over structs keyed by (ts[, tiebreak]) gives a
+        # deterministic ordered concat without a second window/sort pass
+        key_fields = [F.col(ts).alias("__ts")]
+        if tiebreak:
+            key_fields.append(F.col(tiebreak).alias("__tb"))
         aggs.append(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col(ts).alias("__ts"), F.col(c).alias("__v")))),
+                F.array_sort(
+                    F.collect_list(F.struct(*key_fields, F.col(c).alias("__v")))
+                ),
                 lambda s: s["__v"],
             ).alias(f"{c}_ordered")
         )

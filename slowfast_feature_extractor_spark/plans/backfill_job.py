@@ -37,41 +37,51 @@ def run(cfg: FeaturizerConfig, spark=None) -> dict:
     owns_spark = spark is None
     if owns_spark:
         spark = get_spark(app_name="pit-backfill", cpus=cfg.cpus)
-    t0 = time.monotonic()
-    pages = spark.read.parquet(cfg.input_path)
-    feats = featurize_pages(
-        pages,
-        fast_rows=cfg.fast_rows,
-        slow_rows=cfg.slow_rows,
-        fast_len=cfg.fast_len,
-        slow_len=cfg.slow_len,
-    )
-    # bucket on the entity (salted hash) — the unit of checkpointing;
-    # window partitioning inside featurize is untouched (url-complete).
-    bucketed = feats.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.buckets)).cast("int")
-    )
-    result = run_with_checkpoint(
-        bucketed,
-        output_dir=cfg.output_path,
-        ledger_dir=cfg.ledger_path,
-        bucket_col="bucket",
-        batch_id=cfg.batch_id,
-    )
-    audited = assert_no_leakage(
-        spark.read.parquet(f"{cfg.output_path}/bucket=*"), ts="warc_ts"
-    )
-    metrics = {
-        "buckets_processed": len(result["processed"]),
-        "buckets_skipped": len(result["skipped"]),
-        "rows_written": result["rows"],
-        "rows_audited": audited,
-        "leakage_violations": 0,
-        "wall_s": round(time.monotonic() - t0, 2),
-        "batch_id": cfg.batch_id,
-    }
-    if owns_spark:
-        spark.stop()
+    try:
+        t0 = time.monotonic()
+        pages = spark.read.parquet(cfg.input_path)
+        feats = featurize_pages(
+            pages,
+            fast_rows=cfg.fast_rows,
+            slow_rows=cfg.slow_rows,
+            fast_len=cfg.fast_len,
+            slow_len=cfg.slow_len,
+        )
+        # bucket on the entity (salted hash) — the unit of checkpointing;
+        # window partitioning inside featurize is untouched (url-complete).
+        bucketed = feats.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.buckets)).cast("int")
+        )
+        result = run_with_checkpoint(
+            bucketed,
+            output_dir=cfg.output_path,
+            ledger_dir=cfg.ledger_path,
+            bucket_col="bucket",
+            batch_id=cfg.batch_id,
+        )
+        if os.path.isdir(cfg.output_path):
+            audited = assert_no_leakage(
+                spark.read.parquet(f"{cfg.output_path}/bucket=*"), ts="warc_ts"
+            )
+        else:
+            # empty input: run_with_checkpoint wrote nothing and never
+            # created the dir — a backfill over an empty day-partition
+            # must report zero-row metrics, not crash on PATH_NOT_FOUND
+            audited = 0
+        metrics = {
+            "buckets_processed": len(result["processed"]),
+            "buckets_skipped": len(result["skipped"]),
+            "rows_written": result["rows"],
+            "rows_audited": audited,
+            "leakage_violations": 0,
+            "wall_s": round(time.monotonic() - t0, 2),
+            "batch_id": cfg.batch_id,
+        }
+    finally:
+        # an audit failure (or any stage error) must not leak an owned
+        # SparkSession in a driver that runs batches in a loop
+        if owns_spark:
+            spark.stop()
     return metrics
 
 

@@ -41,9 +41,19 @@ def get_spark(
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    # honor an externally-provided master (spark-submit --master yarn/…):
+    # application-code .master() OVERRIDES the submit flag, so setting it
+    # unconditionally would silently run the whole corpus single-node on
+    # the driver host of a real cluster. Under spark-submit the Python
+    # driver runs against a pre-launched JVM gateway that already
+    # carries the submit conf — PYSPARK_GATEWAY_PORT is the signal
+    # (verified: a bare `python` invocation has neither it nor
+    # spark.master). local[cpus] is the bare-python fallback only.
+    builder = SparkSession.builder
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

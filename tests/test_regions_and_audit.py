@@ -108,3 +108,55 @@ def test_dual_rate_never_leaks_property(spark_for_hypothesis, series):
 def spark_for_hypothesis(spark):
     """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
     return spark
+
+
+def test_host_of_handles_pathless_case_and_port(spark):
+    from slowfast_feature_extractor_spark.operators.regions import host_of
+
+    df = spark.createDataFrame(
+        [
+            ("https://example.com",),          # no trailing slash
+            ("HTTP://Example.com/x",),         # uppercase scheme
+            ("https://example.com:8443/p",),   # port
+            ("https://example.com/a/b?q=1",),  # normal
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(host_of(F.col("url"))).collect()]
+    assert got == ["example.com", "Example.com", "example.com", "example.com"]
+
+
+def test_content_regions_half_null_range_passes_through(spark):
+    import datetime as dt
+
+    from slowfast_feature_extractor_spark.operators.regions import (
+        apply_content_regions,
+    )
+
+    ts = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("u", ts, bytearray(b"0123456789"))], "url string, warc_ts timestamp, html binary"
+    )
+    regions = spark.createDataFrame(
+        [("u", ts, 2, None)],
+        "url string, warc_ts timestamp, content_start int, content_end int",
+    )
+    out = apply_content_regions(pages, regions).collect()
+    # a half-null range must keep the FULL document, not nullify it
+    assert bytes(out[0]["html_region"]) == b"0123456789"
+
+
+def test_join_host_meta_keeps_unmatched_hosts(spark):
+    from slowfast_feature_extractor_spark.operators.regions import join_host_meta
+
+    pages = spark.createDataFrame(
+        [("https://known.com/a",), ("https://new-host.com/b",)], "url string"
+    )
+    meta = spark.createDataFrame(
+        [("known.com", 1)], "host string, crawl_tier int"
+    )
+    out = {r["host"]: r["crawl_tier"] for r in join_host_meta(pages, meta).collect()}
+    # enrichment tolerates a host missing from the dimension
+    assert out == {"known.com": 1, "new-host.com": None}
+    # with the tier predicate the unmatched row drops (old inner shape)
+    assert join_host_meta(pages, meta, keep_tier=1).count() == 1
