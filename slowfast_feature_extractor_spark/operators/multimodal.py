@@ -19,15 +19,19 @@ Two media paths are REAL end-to-end with stdlib-only codecs:
   0-4, 8-bit RGB/RGBA), AND sequential + progressive JPEG with
   :func:`decode_jpeg` (marker walk, canonical Huffman entropy decode,
   SOF2 spectral-selection/successive-approximation scans, restart
-  intervals, dequantize, exact IDCT, JFIF color convert — 4:4:4 and
-  grayscale); :func:`resize_nearest` is a real resize kernel, and
+  intervals, dequantize, exact IDCT, JFIF color convert — grayscale,
+  4:4:4, AND chroma-subsampled 4:2:0/4:2:2/4:1:1 via the
+  MCU-interleaved scan walk + replication upsampling);
+  :func:`resize_nearest` is a real resize kernel, and
   :func:`image_meta` chains decode → resize → channel sums with
   analytic oracles (``multimodal_image``, ``multimodal_png``,
-  ``multimodal_jpeg``, ``multimodal_jpeg_prog``);
+  ``multimodal_jpeg``, ``multimodal_jpeg_prog``,
+  ``multimodal_jpeg_420``);
 - video: :func:`decode_avi` parses MJPEG-in-AVI RIFF containers and
   JPEG-decodes sampled frames (``multimodal_video``).
 
-Subsampled-chroma JPEG and non-MJPEG video codecs still need a
+Non-MJPEG video codecs and the exotic JPEG modes (hierarchical,
+lossless, arithmetic-coded, non-integer sampling ratios) still need a
 production codec (PIL/cv2 — absent in this container): those raise
 ``NotImplementedError`` while their Spark-side plumbing (schema,
 batching, UDF signature, partitioning) is exercised by
@@ -315,22 +319,80 @@ def _jpeg_collect_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
-def _jpeg_seq_scan(scan: dict, coef, bw: int, bh: int) -> None:
-    """Sequential (SOF0/SOF1) interleaved scan → zigzag-order int
-    coefficient rows, one per 8x8 block, restart-aware."""
+def _jpeg_geometry(comps: list[dict], width: int, height: int) -> dict:
+    """Per-component block geometry for arbitrary sampling factors
+    (T.81 A.1.1/A.2.4): MCU grid sized by hmax/vmax; each component
+    allocates an MCU-padded block grid (``bw_alloc`` × ``bh_alloc``)
+    but a non-interleaved scan walks only its OWN grid (``bw_own`` ×
+    ``bh_own`` = ceil of the component's true sample dims / 8)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    out = []
+    for c in comps:
+        cw = (width * c["h"] + hmax - 1) // hmax  # component sample dims
+        ch = (height * c["v"] + vmax - 1) // vmax
+        out.append(
+            {
+                "h": c["h"],
+                "v": c["v"],
+                "w": cw,
+                "hh": ch,
+                "bw_alloc": mcux * c["h"],
+                "bh_alloc": mcuy * c["v"],
+                "bw_own": (cw + 7) // 8,
+                "bh_own": (ch + 7) // 8,
+            }
+        )
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "comps": out}
+
+
+def _scan_units(order: list, geom: dict):
+    """Yield the restart-counted decode units of a scan as lists of
+    (component_index, flat_block_index): an interleaved scan's unit is
+    one MCU (h*v blocks per component, raster order within the MCU);
+    a non-interleaved scan's unit is a single block of the component's
+    own (non-MCU-padded) grid."""
+    if len(order) > 1:
+        mcux, mcuy = geom["mcux"], geom["mcuy"]
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            unit = []
+            for ci, _, _ in order:
+                g = geom["comps"][ci]
+                for bv in range(g["v"]):
+                    for bhx in range(g["h"]):
+                        unit.append(
+                            (ci, (my * g["v"] + bv) * g["bw_alloc"] + mx * g["h"] + bhx)
+                        )
+            yield unit
+    else:
+        ci = order[0][0]
+        g = geom["comps"][ci]
+        for r in range(g["bh_own"]):
+            for c in range(g["bw_own"]):
+                yield [(ci, r * g["bw_alloc"] + c)]
+
+
+def _jpeg_seq_scan(scan: dict, coef, geom: dict) -> None:
+    """Sequential (SOF0/SOF1) scan → zigzag-order int coefficient rows,
+    one per 8x8 block, MCU-interleaved for any sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 / grayscale), restart-aware (DRI counts
+    MCUs in interleaved scans, data units otherwise)."""
     segments, ri = scan["segments"], scan["ri"]
     order = scan["order"]
     rd = _BitReader(segments[0])
     seg_i = 0
     pred = {ci: 0 for ci, _, _ in order}
-    for n in range(bh * bw):
-        if ri and n and n % ri == 0:
+    for u, unit in enumerate(_scan_units(order, geom)):
+        if ri and u and u % ri == 0:
             seg_i += 1
             if seg_i >= len(segments):
                 raise ValueError("missing restart segment")
             rd = _BitReader(segments[seg_i])
             pred = {ci: 0 for ci, _, _ in order}
-        for ci, _, _ in order:
+        for ci, n in unit:
             dctab, actab = scan["dc"][ci], scan["ac"][ci]
             t = _jpeg_huff_decode(rd, dctab)
             pred[ci] += _jpeg_extend(rd.receive(t), t)
@@ -351,29 +413,30 @@ def _jpeg_seq_scan(scan: dict, coef, bw: int, bh: int) -> None:
                 k += 1
 
 
-def _jpeg_prog_scan(scan: dict, coef, bw: int, bh: int) -> None:
+def _jpeg_prog_scan(scan: dict, coef, geom: dict) -> None:
     """One progressive (SOF2) scan applied to the coefficient buffers:
     DC first/refine (spectral band 0) or AC first/refine (band Ss..Se
     with EOB-run coding and successive-approximation correction bits),
-    per T.81 G.1.2 / the libjpeg decode_mcu_* state machines."""
+    per T.81 G.1.2 / the libjpeg decode_mcu_* state machines. DC scans
+    may be MCU-interleaved across subsampled components; AC scans are
+    non-interleaved and walk the component's own block grid."""
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     segments, ri = scan["segments"], scan["ri"]
     order = scan["order"]
-    nblocks = bh * bw
 
     def segmented(reset_fn):
-        """Yield (block_index, reader); switch segment + reset state
-        every `ri` blocks when a restart interval is declared."""
+        """Yield (unit, reader); switch segment + reset state every
+        `ri` units when a restart interval is declared."""
         rd = _BitReader(segments[0])
         seg_i = 0
-        for n in range(nblocks):
-            if ri and n and n % ri == 0:
+        for u, unit in enumerate(_scan_units(order, geom)):
+            if ri and u and u % ri == 0:
                 seg_i += 1
                 if seg_i >= len(segments):
                     raise ValueError("missing restart segment")
                 rd = _BitReader(segments[seg_i])
                 reset_fn()
-            yield n, rd
+            yield unit, rd
 
     if ss == 0:  # DC scan (interleaved allowed)
         if se != 0:
@@ -385,14 +448,14 @@ def _jpeg_prog_scan(scan: dict, coef, bw: int, bh: int) -> None:
                 for k in pred:
                     pred[k] = 0
 
-            for n, rd in segmented(_reset):
-                for ci, _, _ in order:
+            for unit, rd in segmented(_reset):
+                for ci, n in unit:
                     t = _jpeg_huff_decode(rd, scan["dc"][ci])
                     pred[ci] += _jpeg_extend(rd.receive(t), t)
                     coef[ci][n, 0] = pred[ci] << al
         else:  # DC refinement: one raw bit per block per component
-            for n, rd in segmented(lambda: None):
-                for ci, _, _ in order:
+            for unit, rd in segmented(lambda: None):
+                for ci, n in unit:
                     if rd.read_bit():
                         coef[ci][n, 0] |= 1 << al
         return
@@ -409,7 +472,8 @@ def _jpeg_prog_scan(scan: dict, coef, bw: int, bh: int) -> None:
         state["eobrun"] = 0
 
     if ah == 0:  # AC first scan for this band
-        for n, rd in segmented(_reset):
+        for unit, rd in segmented(_reset):
+            ((_, n),) = unit
             if state["eobrun"] > 0:
                 state["eobrun"] -= 1
                 continue
@@ -435,7 +499,8 @@ def _jpeg_prog_scan(scan: dict, coef, bw: int, bh: int) -> None:
     # AC refinement: append one correction bit per already-nonzero
     # coefficient, place newly-significant ±1<<Al coefficients
     p1, m1 = 1 << al, -(1 << al)
-    for n, rd in segmented(_reset):
+    for unit, rd in segmented(_reset):
+        ((_, n),) = unit
         k = ss
         if state["eobrun"] == 0:
             while k <= se:
@@ -487,10 +552,12 @@ def decode_jpeg(data: bytes):
     height, bpp, pixels HxWx3 uint8). Supports baseline/extended
     sequential (SOF0/SOF1) AND progressive (SOF2: spectral selection +
     successive approximation, DC/AC first + refinement scans with
-    EOB-run coding) in grayscale and 4:4:4, with restart intervals
-    (DRI + RSTn) in both modes. Subsampled chroma, hierarchical and
-    lossless modes still need a production codec and raise
-    NotImplementedError. Reference decode analog:
+    EOB-run coding) in grayscale, 4:4:4 AND subsampled chroma with
+    integer upsampling ratios (4:2:0, 4:2:2, 4:1:1 — MCU-interleaved
+    scan walk per T.81 A.2.3, sample-replication chroma upsampling per
+    JFIF 1.02), with restart intervals (DRI + RSTn) in all modes.
+    Hierarchical and lossless modes still need a production codec and
+    raise NotImplementedError. Reference decode analog:
     reference/datasets/videoset.py:66-95 (cv2 over compressed frames)
     — the same decode step, zero third-party deps."""
     import struct
@@ -534,11 +601,10 @@ def decode_jpeg(data: bytes):
             _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 / grayscale sampling supported"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"bad sampling factors {h}x{v}")
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "hierarchical/lossless/arithmetic JPEG modes unsupported"
@@ -595,24 +661,42 @@ def decode_jpeg(data: bytes):
     if not progressive and len(scans) != 1:
         raise NotImplementedError("multiple sequential scans unsupported")
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    coef = [np.zeros((bh * bw, 64), dtype=np.int32) for _ in comps]
+    geom = _jpeg_geometry(comps, width, height)
+    coef = [
+        np.zeros((g["bh_alloc"] * g["bw_alloc"], 64), dtype=np.int32)
+        for g in geom["comps"]
+    ]
     if progressive:
         for scan in scans:
-            _jpeg_prog_scan(scan, coef, bw, bh)
+            _jpeg_prog_scan(scan, coef, geom)
     else:
-        _jpeg_seq_scan(scans[0], coef, bw, bh)
+        _jpeg_seq_scan(scans[0], coef, geom)
 
-    # dequantize (zigzag → natural order) + vectorized IDCT per plane
+    # dequantize (zigzag → natural order) + vectorized IDCT per plane,
+    # crop to the component's true sample dims, then replicate-upsample
+    # subsampled planes to full resolution (integer ratios only)
     a = _idct_matrix()
     zz = np.asarray(_JPEG_ZIGZAG)
     planes = []
     for ci, comp in enumerate(comps):
-        nat = np.zeros((bh * bw, 64), dtype=np.float64)
+        g = geom["comps"][ci]
+        bw_a, bh_a = g["bw_alloc"], g["bh_alloc"]
+        nat = np.zeros((bh_a * bw_a, 64), dtype=np.float64)
         nat[:, zz] = coef[ci]
         blocks = nat.reshape(-1, 8, 8) * qt[comp["tq"]]
         px = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
-        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = (
+            px.reshape(bh_a, bw_a, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_a * 8, bw_a * 8)[: g["hh"], : g["w"]]
+        )
+        fx, fy = geom["hmax"] // g["h"], geom["vmax"] // g["v"]
+        if geom["hmax"] % g["h"] or geom["vmax"] % g["v"]:
+            raise NotImplementedError(
+                "non-integer chroma upsampling ratios unsupported"
+            )
+        if fx > 1 or fy > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:height, :width])
     if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
@@ -733,6 +817,115 @@ def synth_jpeg(
                 if last < 63:
                     code, ln = ac_codes[0x00]  # EOB
                     put(code, ln)
+    if bitbuf[1]:
+        pad = 8 - bitbuf[1]
+        put((1 << pad) - 1, pad)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+_JPEG_SAMPLINGS = {"420": (2, 2), "422": (2, 1), "411": (4, 1)}
+
+
+def synth_jpeg_subsampled(
+    width: int,
+    height: int,
+    y_block_fn,
+    chroma_block_fn,
+    sampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize a chroma-subsampled baseline JPEG — the dominant
+    encoding of real web images (most crawl JPEGs are 4:2:0), the
+    fixture generator behind the ``multimodal_jpeg_420`` registry row.
+    ``y_block_fn(bx, by) -> luma`` gives each flat 8x8 Y block (grid
+    width/8 × height/8); ``chroma_block_fn(cx, cy) -> (cb, cr)`` gives
+    each flat chroma block of the SUBSAMPLED plane (grid width/(8·hY)
+    × height/(8·vY)). Entropy stream is MCU-interleaved per T.81
+    A.2.3: hY·vY Y blocks in raster order then one Cb and one Cr block
+    per MCU, with optional DRI restart intervals counted in MCUs.
+    Flat-8 quant (q00=8) keeps flat blocks bit-exact through
+    dequant+IDCT, so replication upsampling of tile-constant chroma is
+    lossless — what makes the analytic oracle possible. Dimensions
+    must be multiples of the MCU size (16x16 for 4:2:0, 16x8 for
+    4:2:2, 32x8 for 4:1:1)."""
+    import struct
+
+    if sampling not in _JPEG_SAMPLINGS:
+        raise ValueError(f"sampling must be one of {sorted(_JPEG_SAMPLINGS)}")
+    hy, vy = _JPEG_SAMPLINGS[sampling]
+    if width % (8 * hy) or height % (8 * vy):
+        raise ValueError(
+            f"synth_jpeg_subsampled({sampling}) needs {8*hy}x{8*vy}-multiple dims"
+        )
+    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
+    ac_bits, ac_vals = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
+    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([8] * 64))  # quant table 0, flat 8
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])  # Y subsampled-relative = max
+    sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])  # Cb, Cr
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bitbuf: list[int] = [0, 0]  # acc, nbits
+
+    def put(code: int, n: int) -> None:
+        acc, nb = bitbuf
+        acc = (acc << n) | code
+        nb += n
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+        bitbuf[0], bitbuf[1] = acc, nb
+
+    eob_code, eob_len = ac_codes[0x00]
+
+    def put_block(ci: int, value: int) -> None:
+        dc = int(value) - 128  # quantized DC with q00=8
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = diff.bit_length() if diff else 0
+        code, ln = dc_codes[t]
+        put(code, ln)
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        put(eob_code, eob_len)
+
+    pred = [0, 0, 0]
+    mcux, mcuy = width // (8 * hy), height // (8 * vy)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        if restart_interval and m and m % restart_interval == 0:
+            if bitbuf[1]:  # byte-align with 1-bits before the marker
+                pad = 8 - bitbuf[1]
+                put((1 << pad) - 1, pad)
+            out.extend(
+                bytes([0xFF, 0xD0 | ((m // restart_interval - 1) % 8)])
+            )
+            pred = [0, 0, 0]
+        for bv in range(vy):
+            for bh in range(hy):
+                put_block(0, y_block_fn(mx * hy + bh, my * vy + bv))
+        cb, cr = chroma_block_fn(mx, my)
+        put_block(1, cb)
+        put_block(2, cr)
     if bitbuf[1]:
         pad = 8 - bitbuf[1]
         put((1 << pad) - 1, pad)
@@ -1007,8 +1200,9 @@ def decode_image(data: bytes):
     if len(data) < 54 or data[:2] != b"BM":
         raise NotImplementedError(
             "stdlib-decodable containers are 24-bit BMP, 8-bit RGB/RGBA PNG "
-            "and sequential/progressive 4:4:4/grayscale JPEG; plug a codec "
-            "(PIL/cv2) in for subsampled-chroma JPEG or other formats"
+            "and sequential/progressive JPEG (grayscale, 4:4:4, and "
+            "integer-ratio subsampled chroma: 4:2:0/4:2:2/4:1:1); plug a "
+            "codec (PIL/cv2) in for other formats"
         )
     offset = struct.unpack_from("<I", data, 10)[0]
     width, height = struct.unpack_from("<ii", data, 18)

@@ -2275,6 +2275,114 @@ FROM p
 """
 
 
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-subsampled JPEG decode — 4:2:0 (the dominant encoding of
+    real web images) plus 4:2:2 (every 3rd document): per document a
+    baseline JPEG is synthesized with an MCU-interleaved subsampled
+    entropy stream (synth_jpeg_subsampled — 4 Y blocks + 1 Cb + 1 Cr
+    per 16x16 MCU for 4:2:0), luma flat per 8x8 block and chroma flat
+    per chroma TILE (16x16 px for 4:2:0, 16x8 for 4:2:2; values in
+    {108,128,148} so the JFIF color convert never lands on an exact
+    .5 and DuckDB's floor(v+0.5) replays numpy's rint bit-exactly),
+    every 3rd-remainder-1 document carrying DRI restart intervals —
+    then decoded through the generalized MCU scan walk + replication
+    chroma upsampling (operators/multimodal.decode_jpeg) → resize →
+    exact integer channel sums. The oracle recomputes Y/Cb/Cr per
+    pixel from the tile formulas and replays the color convert, so an
+    MCU-walk, per-component-geometry, upsampling, predictor-reset or
+    color-convert bug breaks the hash. Reference decode analog:
+    reference/datasets/videoset.py:66-95 (cv2 decodes 4:2:0
+    natively; so does this engine now — VERDICT r5 item #1)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_jpeg_subsampled,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 16 * (1 + doc_id % 2), 16 * (1 + tlen % 2)
+
+                def yb(bx, by, d=doc_id):
+                    return (d * 19 + by * 23 + bx * 29) % 256
+
+                def cbf(cx, cy, d=doc_id):
+                    return (
+                        108 + 20 * ((d + cx + cy) % 3),
+                        108 + 20 * ((d * 2 + cx * 3 + cy) % 3),
+                    )
+
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_jpeg_subsampled(
+                        w,
+                        h,
+                        yb,
+                        cbf,
+                        sampling="422" if doc_id % 3 == 0 else "420",
+                        restart_interval=2 if doc_id % 3 == 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_jpeg_420_oracle() -> str:
+    # pixel(x, y): Y from the 8x8 block formula; Cb/Cr from the chroma
+    # tile formula (tile = 16 x cth px, cth = 8 for the 4:2:2 docs,
+    # 16 for 4:2:0); JFIF color convert replayed as floor(v + 0.5)
+    # (== numpy rint here: chroma offsets ±20 keep every fractional
+    # part off .5), clipped to 0..255. Mirrors the decoder's float64
+    # op order (one multiply, one/two adds) so IEEE results match.
+    def chan(c: str, xe: str, ye: str) -> str:
+        yv = f"((doc_id * 19 + (({ye}) // 8) * 23 + (({xe}) // 8) * 29) % 256)"
+        cx, cy = f"(({xe}) // 16)", f"(({ye}) // cth)"
+        cb = f"(108 + 20 * ((doc_id + {cx} + {cy}) % 3))"
+        cr = f"(108 + 20 * ((doc_id * 2 + {cx} * 3 + {cy}) % 3))"
+        if c == "r":
+            v = f"{yv} + 1.402 * ({cr} - 128)"
+        elif c == "g":
+            v = f"{yv} - 0.344136 * ({cb} - 128) - 0.714136 * ({cr} - 128)"
+        else:
+            v = f"{yv} + 1.772 * ({cb} - 128)"
+        return f"least(255, greatest(0, CAST(floor(({v}) + 0.5) AS BIGINT)))"
+
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        + chan(c, "t % w", "t // w")
+        + f")) AS BIGINT) AS sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        + chan(c, "((t % 8) * w) // 8", "((t // 8) * h) // 6")
+        + f")) AS BIGINT) AS rs_sum_{c}"
+        for c in ("r", "g", "b")
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 16 * (1 + doc_id % 2) AS w,
+         16 * (1 + length(text) % 2) AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS cth
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       {full}, {rs}
+FROM p
+"""
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, stdlib-only — S2 made literal (the reference's
     primary input modality, reference/datasets/videoset.py:72-103): per
@@ -4654,6 +4762,8 @@ GROUP BY source
 # is always rows confirmed in the immediately-previous round, so the
 # union of any two consecutive rounds covers every registry key.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new in r6 (never driver-verified) ---
+    "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     # --- new in r5 (never driver-verified) ---
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
     "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),

@@ -352,9 +352,86 @@ def test_decode_jpeg_rejects_unsupported_modes():
         decode_jpeg(bytes(synth_jpeg(8, 8, lambda bx, by: (1, 128, 128))))["pixels"],
     )
     blob[sof + 1] = 0xC0
-    blob[sof + 11] = 0x22  # 4:2:0 sampling factors on component 1
-    with pytest.raises(NotImplementedError):
+    blob[sof + 11] = 0x52  # sampling factor 5 > 4: out of T.81 range
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_subsampled_pixel_parity_with_444():
+    """4:2:0 / 4:2:2 / 4:1:1 decode must be pixel-identical to the
+    4:4:4 path on tile-constant chroma (replication upsampling of a
+    box-constant plane is lossless, flat blocks are bit-exact through
+    dequant+IDCT) — covers the MCU-interleaved scan walk, per-component
+    block geometry, and chroma upsampling in one assertion per mode."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+        synth_jpeg_subsampled,
+    )
+
+    w, h = 32, 32
+
+    def yb(bx, by):
+        return (7 + bx * 13 + by * 31) % 256
+
+    def cbf(cx, cy):
+        return 108 + 20 * ((cx + cy) % 3), 108 + 20 * ((cx * 3 + cy) % 3)
+
+    for sampling, (fx, fy) in (("420", (2, 2)), ("422", (2, 1)), ("411", (4, 1))):
+        got = decode_jpeg(synth_jpeg_subsampled(w, h, yb, cbf, sampling))
+
+        def bf(bx, by, fx=fx, fy=fy):
+            cb, cr = cbf(bx // fx, by // fy)
+            return yb(bx, by), cb, cr
+
+        want = decode_jpeg(synth_jpeg(w, h, bf))
+        assert got["width"] == w and got["height"] == h and got["bpp"] == 24
+        assert np.array_equal(got["pixels"], want["pixels"]), sampling
+
+
+def test_jpeg_subsampled_restart_intervals():
+    """DRI restart markers in a subsampled stream count MCUs (6 blocks
+    each for 4:2:0), reset all three predictors, and byte-align — a
+    block-counted reset would corrupt every MCU after the first RSTn."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_subsampled,
+    )
+
+    w, h = 48, 32  # 3x2 MCUs at 4:2:0 -> RSTn inside and across rows
+
+    def yb(bx, by):
+        return (200 + bx * 37 + by * 11) % 256
+
+    def cbf(cx, cy):
+        return 108 + 20 * ((cx + 2 * cy) % 3), 148 - 20 * ((cx + cy) % 3)
+
+    plain = decode_jpeg(synth_jpeg_subsampled(w, h, yb, cbf, "420"))
+    rst = decode_jpeg(synth_jpeg_subsampled(w, h, yb, cbf, "420", restart_interval=2))
+    assert np.array_equal(plain["pixels"], rst["pixels"])
+
+
+def test_jpeg_subsampled_synth_guards():
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        synth_jpeg_subsampled,
+    )
+
+    def yb(bx, by):
+        return 1
+
+    def cbf(cx, cy):
+        return 128, 128
+
+    with pytest.raises(ValueError):  # 4:2:0 needs 16x16-multiple dims
+        synth_jpeg_subsampled(24, 16, yb, cbf, "420")
+    with pytest.raises(ValueError):
+        synth_jpeg_subsampled(16, 16, yb, cbf, "410")
 
 
 def test_avi_roundtrip_frames_byte_exact():
