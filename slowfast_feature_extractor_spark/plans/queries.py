@@ -73,6 +73,16 @@ def q_pit_dual_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit_dual_rate_events(spark, sf_dir)
 
 
+def q_pit_dual_rate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events flagship behind the zero-job skew chooser (VERDICT r5
+    #2): plain plan on uniform corpora, the fully-chunked composition
+    only when the hot-entity sketch crosses the threshold. Same oracle
+    as pit_dual_rate — both arms are value-exact."""
+    from slowfast_feature_extractor_spark.plans.featurize import pit_dual_rate_auto
+
+    return pit_dual_rate_auto(_ev(spark, sf_dir))
+
+
 def q_pit_dual_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events flagship with EVERY entity-sequential stage on the
     skew path — chunked sessionize + chunked dual-rate windows + chunked
@@ -1441,13 +1451,53 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded-KMeans coarse quantizer, n_probe nearest cells.
-    Approximate + model-based → rows-only driver check (no SQL oracle);
-    recall vs the exact oracle is asserted in tests."""
+    """IVF ANN with the deterministic seed quantizer (VERDICT r5 #3):
+    centroids are the 8 lowest-id corpus vectors (one pass, no KMeans
+    iterations — the semantic_dedup pattern), so DuckDB replays cell
+    assignment + probing exactly and the row hash-matches. The
+    production seeded-KMeans quantizer stays the default in
+    operators/similarity.knn_ivf and is driver-exercised by
+    knn_ivf_fullprobe (exact at n_probe=n_cells) + a recall pytest."""
     return SIM.knn_ivf(
         _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
-        k=5, n_cells=8, n_probe=4, fit_fraction=0.25,
+        k=5, n_cells=8, n_probe=4, quantizer="seed",
     )
+
+
+ORACLE_KNN_IVF = f"""
+WITH e AS ({_EMB_DOUBLE}),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, s.cv) ** 2, 6) ASC,
+                                       s.cell ASC) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, s.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round(list_distance(q.qv, s.cv) ** 2, 6) ASC,
+                                       s.cell ASC) AS rn
+    FROM q CROSS JOIN seeds s) WHERE rn <= 4
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, qp.qv), 6) AS sim
+  FROM assign a JOIN qprobe qp USING (cell)
+  WHERE a.vec_id <> qp.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
 
 
 def q_content_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4764,6 +4814,7 @@ GROUP BY source
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- new in r6 (never driver-verified) ---
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
+    "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     # --- new in r5 (never driver-verified) ---
     "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
     "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),
@@ -4837,7 +4888,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
-    "knn_ivf": (q_knn_ivf, None),  # approximate/model-based: rows-only check
+    "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),  # seed quantizer: replayable
     "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),

@@ -93,6 +93,54 @@ def test_blocked_neardup_no_planning_job(spark, tmp_path):
     assert out.schema.simpleString() == "struct<id_a:bigint,id_b:bigint,sim:double>"
 
 
+def test_knn_blocked_guards_driver_collect(spark, tmp_path):
+    """VERDICT r5 #4: above max_query_rows the blocked variant must NOT
+    collect the query side to the driver — it falls back to the
+    join-based plan (no grouped python node, no broadcast-hinted query
+    side) and stays value-identical to the broadcast path."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"vec_id": range(60),
+         "embedding": [rng.normal(size=8).astype("float32") for _ in range(60)]}
+    )
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    ).write.parquet(path)
+    corpus = spark.read.parquet(path)
+    qpath = str(tmp_path / "queries.parquet")
+    corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).write.parquet(qpath)
+    queries = spark.read.parquet(qpath)
+
+    # above threshold (footer estimate 10 > 5): fallback plan, zero
+    # jobs at composition time (the collect would have been a job)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    guarded = SIM.knn_bruteforce_blocked(corpus, queries, k=3, max_query_rows=5)
+    assert tracker.getJobIdsForGroup(None) == before
+    plan = guarded._jdf.queryExecution().toString()
+    assert "MapInPandas" not in plan  # blocked kernel not engaged
+    # no FORCED broadcast hint on the query side — the planner may
+    # still pick a stats-based broadcast strategy for small inputs
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
+
+    # below threshold: blocked kernel engaged (collect is allowed)
+    blocked = SIM.knn_bruteforce_blocked(corpus, queries, k=3, max_query_rows=100)
+    assert "MapInPandas" in blocked._jdf.queryExecution().toString()
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = sorted(guarded.collect(), key=key)
+    b = sorted(blocked.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()
+
+
 def test_blocked_lsh_bucket_local_block_counts(spark):
     """VERDICT r3 #1: with bits set, the block count is derived PER
     sign bucket from its own size (rows_per_block), not a global B.

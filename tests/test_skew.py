@@ -238,6 +238,38 @@ def test_pit_flagship_fully_chunked_parity(spark):
         assert ra.asDict() == rb.asDict(), (ra, rb)
 
 
+def test_pit_flagship_auto_chunk_dispatch(spark):
+    """VERDICT r5 #2: the auto flagship engages the chunk-carry
+    machinery only above the hot-entity threshold — plain plan (no
+    grouped-map python node) on the uniform fixture, chunked plan when
+    the threshold is forced down to fixture scale, both value-exact."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.plans.featurize import (
+        pit_dual_rate_auto,
+        pit_dual_rate_from,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().toString()
+
+    auto_plain = pit_dual_rate_auto(ev)  # uniform corpus -> plain arm
+    assert "FlatMapGroupsInPandas" not in plan(auto_plain)
+    auto_chunked = pit_dual_rate_auto(ev, chunk_threshold=2)  # forced skew arm
+    assert "FlatMapGroupsInPandas" in plan(auto_chunked)
+
+    key = ["user_id", "ts", "event_id"]
+    a = pit_dual_rate_from(ev).sort(*key).collect()
+    b = auto_chunked.sort(*key).collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict(), (ra, rb)
+
+
 def test_chunked_dual_rate_parity_with_null_ts_rows(spark):
     """Rows with null ts (null chunk) sort NULLS FIRST in the plain
     operator; the chunked fold must treat the null chunk as the
