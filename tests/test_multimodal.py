@@ -415,6 +415,51 @@ def test_jpeg_subsampled_restart_intervals():
     assert np.array_equal(plain["pixels"], rst["pixels"])
 
 
+def test_jpeg_non_interleaved_baseline_parity():
+    """T.81-legal one-scan-per-component sequential JPEG (the ADVICE r4
+    refusal, now decoded): pixel parity with the interleaved encoding
+    on the same blocks — DC chains, AC coefficients, restart intervals
+    and grayscale all covered; a stream whose scans do NOT cover every
+    SOF component must still refuse (silent-grayscale hazard)."""
+    import re
+
+    import numpy as np
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    def bf(bx, by):
+        return (
+            (7 + bx * 13 + by * 31) % 256,
+            108 + 20 * ((bx + by) % 3),
+            148 - 20 * ((bx * 2 + by) % 3),
+        )
+
+    def afn(bx, by, ci):
+        return [(2, -3), (17, 5)] if (bx + by + ci) % 3 == 0 else []
+
+    want = decode_jpeg(synth_jpeg(24, 16, bf, ac_fn=afn))["pixels"]
+    got = decode_jpeg(synth_jpeg(24, 16, bf, ac_fn=afn, interleaved=False))
+    assert np.array_equal(want, got["pixels"])
+    rst = decode_jpeg(
+        synth_jpeg(24, 16, bf, ac_fn=afn, interleaved=False, restart_interval=2)
+    )
+    assert np.array_equal(want, rst["pixels"])
+    gray = decode_jpeg(synth_jpeg(24, 16, bf, gray=True, interleaved=False))
+    assert np.array_equal(
+        gray["pixels"], decode_jpeg(synth_jpeg(24, 16, bf, gray=True))["pixels"]
+    )
+
+    blob = bytes(synth_jpeg(16, 16, bf, interleaved=False))
+    sos_at = [m.start() for m in re.finditer(b"\xff\xda", blob)]
+    assert len(sos_at) == 3
+    with pytest.raises(ValueError, match="cover every SOF component"):
+        decode_jpeg(blob[: sos_at[2]] + b"\xff\xd9")
+
+
 def test_jpeg_subsampled_synth_guards():
     import pytest
 
