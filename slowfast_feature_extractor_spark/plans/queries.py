@@ -4816,133 +4816,129 @@ GROUP BY source
 """
 
 
-# Ordering contract: the driver caps its per-round correctness sweep at
-# 50 rows, and dict order decides who is in it. NEW rows (never driver-
-# verified) lead, then rows whose last green round is OLDEST (r5: the 29
-# rows outside r4's cap, green as of r3), then rows whose CODE changed
-# this round plus the flagships fill the cap; the overflow at the back
-# is always rows confirmed in the immediately-previous round, so the
-# union of any two consecutive rounds covers every registry key.
+# The driver's correctness gate caps at 50 rows, and dict order decides
+# who is in it. r6 rotation: the two rows whose last green is r3 lead
+# (sacrificed by r5's cap, as planned there), then rows never hash-
+# checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
+# the oracle is new), then r5-green rows whose DECODE PATH changed this
+# round (the JPEG scan-walk generalization), then every row last green
+# in r4 with this round's code-touched rows first. At 103 rows a 50-cap
+# leaves 5 r4-green rows + the r5-green set in the overflow: the five
+# (url_canonicalize, hash_split, corpus_shuffle, pii_redact,
+# stratified_sample) are untouched-since-r2/r3 map-only rows, locally
+# oracle-replayed by tests/test_queries_oracle.py on every tree; they
+# lead the r7 rotation. The r5-green set follows, freshest evidence
+# last.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- new in r6 (never driver-verified) ---
-    "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
-    "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
-    # --- new in r5 (never driver-verified) ---
-    "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
-    "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),
-    "bucketed_join": (q_bucketed_join, ORACLE_BUCKETED_JOIN),
-    "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
-    "crawl_schedule": (q_crawl_schedule, ORACLE_CRAWL_SCHEDULE),
-    "url_frontier": (q_url_frontier, ORACLE_URL_FRONTIER),
-    "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
-    "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
-    "warc_scan": (q_warc_scan, ORACLE_WARC_PARSE),
-    "warc_streamed": (q_warc_streamed, ORACLE_WARC_PARSE),
-    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
-    "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
-    "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
-    "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
-    "link_graph": (q_link_graph, ORACLE_LINK_GRAPH),
-    "dedup_minhash_oph": (q_dedup_minhash_oph, _minhash_oph_oracle()),
-    "dedup_semantic": (q_dedup_semantic, ORACLE_DEDUP_SEMANTIC),
-    "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),
-    "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
-    "dedup_clusters_star": (q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS),
-    "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
-    "dedup_incremental_indexed": (q_dedup_incremental_indexed, _dedup_incremental_oracle()),
-    # --- last green in r3 (outside r4's 50-row cap) ---
-    "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
-    "asof_join_tolerance": (q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE),
-    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
-    "session_stats": (q_session_stats, ORACLE_SESSION_STATS),
-    "backfill": (q_backfill, ORACLE_BACKFILL),
-    "lag_lead": (q_lag_lead, ORACLE_LAG_LEAD),
-    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
-    "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "langid": (q_langid, _langid_oracle()),
-    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "corpus_clean": (q_corpus_clean, _corpus_clean_oracle()),
-    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
-    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
-    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
-    "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
-    "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
-    "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
-    "part_supplier_revenue": (q_part_supplier_revenue, ORACLE_PART_SUPPLIER_REVENUE),
-    "host_meta_filter": (q_host_meta_filter, ORACLE_HOST_META_FILTER),
-    "key_parse": (q_key_parse, ORACLE_KEY_PARSE),
-    "group_weights": (q_group_weights, ORACLE_GROUP_WEIGHTS),
-    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
-    "accuracy_per_class": (q_accuracy_per_class, ORACLE_ACCURACY_PER_CLASS),
-    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
-    "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
-    # --- flagship (its composition changed in r5: zero-job auto-chunk).
-    # At 101 rows a 50-cap cannot cover everything in two rounds: with
-    # 22 never-verified rows + 27 r3-green rows ahead, exactly one slot
-    # remains and the flagship takes it. The sacrificed r3-green rows
-    # are the trivial set-op pair placed FIRST in the overflow (code
-    # unchanged since r2/r3, locally oracle-tested every round) so they
-    # lead the r6 rotation ---
-    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
+    # --- last green r3: lead the rotation ---
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
-    "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
-    # --- below the cap: r4-green, locally oracle-green every round ---
-    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
-    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
+    # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
+    "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
+    "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
+    "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
+    # --- r5-green but decode path changed this round ---
+    "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
+    "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
+    # --- last green r4; code-touched-this-round rows first ---
+    "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
+    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
+    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
     "pit_dual_rate": (q_pit_dual_rate, ORACLE_PIT_DUAL_RATE),
     "pit_dual_rate_chunked": (q_pit_dual_rate_chunked, ORACLE_PIT_DUAL_RATE),
-    "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
-    "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
-    "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
-    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
+    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
+    "asof_join": (q_asof_join, _oracle_asof(">=")),
+    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
+    "crawl_diff": (q_crawl_diff, ORACLE_CRAWL_DIFF),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_embedding": (q_dedup_embedding, ORACLE_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_oracle()),
-    "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),  # seed quantizer: replayable
-    "knn_ivf_fullprobe": (q_knn_ivf_fullprobe, ORACLE_KNN_BRUTEFORCE),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
-    # --- back of the rotation (r4-green, code unchanged; next-oldest
-    # after the r5 driver run; lm_unigram_score's only r5 delta is a
-    # comment, so its r4 hash evidence stands; doc_repetition and
-    # multimodal_jpeg demoted here r4-green to keep knn_ivf_fullprobe
-    # inside the 50-row cap) ---
-    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
-    "multimodal_jpeg": (q_multimodal_jpeg, _mm_jpeg_oracle()),
-    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
-    "asof_join": (q_asof_join, _oracle_asof(">=")),
-    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
-    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
-    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
-    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
-    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
-    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
-    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_oracle()),
+    "dedup_minhash_lsh": (q_dedup_minhash, _minhash_oracle()),
     "dedup_streamed": (q_dedup_streamed, ORACLE_DEDUP_STREAMED),
-    "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
+    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    "doc_repetition": (q_doc_repetition, ORACLE_DOC_REPETITION),
     "domain_rollup": (q_domain_rollup, ORACLE_DOMAIN_ROLLUP),
     "dual_rate_streamed": (q_dual_rate_streamed, ORACLE_DUAL_RATE_STREAMED),
-    "crawl_diff": (q_crawl_diff, ORACLE_CRAWL_DIFF),
-    "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
-    "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
+    "featurize_pages_chunked": (q_featurize_pages_chunked, ORACLE_FEATURIZE_PAGES),
+    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
+    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
+    "lm_unigram_score": (q_lm_unigram_score, ORACLE_LM_UNIGRAM_SCORE),
+    "manifest_scan": (q_manifest_scan, ORACLE_MANIFEST_SCAN),
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "multimodal_image": (q_multimodal_image, _mm_image_oracle()),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
-    "knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
-    "knn_lsh": (q_knn_lsh, _knn_lsh_oracle()),
-    "content_regions": (q_content_regions, ORACLE_CONTENT_REGIONS),
+    "multimodal_png": (q_multimodal_png, _mm_png_oracle()),
+    "pagerank2": (q_pagerank2, ORACLE_PAGERANK2),
+    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
     "resample_series": (q_resample_series, ORACLE_RESAMPLE_SERIES),
-    "featurize_sessions": (q_featurize_sessions, ORACLE_FEATURIZE_SESSIONS),
+    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "sessionize_chunked": (q_sessionize_chunked, ORACLE_SESSIONIZE),
+    "sessionize_streamed": (q_sessionize_streamed, ORACLE_SESSIONIZE_STREAMED),
     "span_sample": (q_span_sample, ORACLE_SPAN_SAMPLE),
-    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
     "sql_pricing_summary": (q_sql_pricing_summary, ORACLE_SQL_PRICING_SUMMARY),
     "time_range_window": (q_time_range_window, ORACLE_TIME_RANGE_WINDOW),
-    "distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
-    "anti_join_resume": (q_anti_join_resume, ORACLE_ANTI_JOIN_RESUME),
-    "pivot_event_values": (q_pivot_event_values, ORACLE_PIVOT_EVENT_VALUES),
+    "window_dual_rate": (q_window_dual_rate, ORACLE_WINDOW_DUAL_RATE),
+    "window_dual_rate_chunked": (q_window_dual_rate_chunked, ORACLE_WINDOW_DUAL_RATE),
+    "window_tri_rate": (q_window_tri_rate, ORACLE_WINDOW_TRI_RATE),
     "json_export": (q_json_export, ORACLE_JSON_EXPORT),
+    # --- overflow (positions 51+): 5 stable r4-green rows lead r7 ---
+    "url_canonicalize": (q_url_canonicalize, ORACLE_URL_CANONICALIZE),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    # --- r5-green (freshest driver evidence) ---
+    "accuracy_per_class": (q_accuracy_per_class, ORACLE_ACCURACY_PER_CLASS),
+    "anchor_text": (q_anchor_text, ORACLE_ANCHOR_TEXT),
+    "asof_join_strict": (q_asof_join_strict, _oracle_asof(">")),
+    "asof_join_tolerance": (q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE),
+    "backfill": (q_backfill, ORACLE_BACKFILL),
+    "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_DIM_JOIN),
+    "bucketed_join": (q_bucketed_join, ORACLE_BUCKETED_JOIN),
+    "burst_detect": (q_burst_detect, ORACLE_BURST_DETECT),
+    "cdx_index": (q_cdx_index, ORACLE_CDX_INDEX),
+    "corpus_clean": (q_corpus_clean, _corpus_clean_oracle()),
+    "crawl_schedule": (q_crawl_schedule, ORACLE_CRAWL_SCHEDULE),
+    "dedup_clusters_star": (q_dedup_clusters_star, ORACLE_DEDUP_CLUSTERS),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_incremental_indexed": (q_dedup_incremental_indexed, _dedup_incremental_oracle()),
+    "dedup_jaccard": (q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_minhash_oph": (q_dedup_minhash_oph, _minhash_oph_oracle()),
+    "dedup_passages": (q_dedup_passages, ORACLE_DEDUP_PASSAGES),
+    "dedup_semantic": (q_dedup_semantic, ORACLE_DEDUP_SEMANTIC),
+    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
+    "dsir_score": (q_dsir_score, ORACLE_DSIR_SCORE),
+    "extract_text": (q_extract_text, ORACLE_EXTRACT_TEXT),
+    "featurize_pages": (q_featurize_pages, ORACLE_FEATURIZE_PAGES),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "funnel_stats": (q_funnel_stats, ORACLE_FUNNEL_STATS),
+    "gopher_filter": (q_gopher_filter, ORACLE_GOPHER_FILTER),
+    "group_weights": (q_group_weights, ORACLE_GROUP_WEIGHTS),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "host_meta_filter": (q_host_meta_filter, ORACLE_HOST_META_FILTER),
+    "key_parse": (q_key_parse, ORACLE_KEY_PARSE),
+    "lag_lead": (q_lag_lead, ORACLE_LAG_LEAD),
+    "langid": (q_langid, _langid_oracle()),
+    "link_graph": (q_link_graph, ORACLE_LINK_GRAPH),
+    "margin_entropy": (q_margin_entropy, ORACLE_MARGIN_ENTROPY),
+    "part_supplier_revenue": (q_part_supplier_revenue, ORACLE_PART_SUPPLIER_REVENUE),
+    "pushdown_scan": (q_pushdown_scan, ORACLE_PUSHDOWN_SCAN),
+    "rater_agreement": (q_rater_agreement, ORACLE_RATER_AGREEMENT),
+    "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
+    "session_stats": (q_session_stats, ORACLE_SESSION_STATS),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "tfidf_terms": (q_tfidf_terms, ORACLE_TFIDF_TERMS),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+    "url_frontier": (q_url_frontier, ORACLE_URL_FRONTIER),
+    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
+    "warc_parse": (q_warc_parse, ORACLE_WARC_PARSE),
+    "warc_scan": (q_warc_scan, ORACLE_WARC_PARSE),
+    "warc_streamed": (q_warc_streamed, ORACLE_WARC_PARSE),
 }
 
 
