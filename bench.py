@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg",
     "multimodal_jpeg_prog",
     "multimodal_jpeg_420",
+    "multimodal_gif",
     "multimodal_video",
     "corpus_clean",
     "url_canonicalize",

@@ -2525,6 +2525,84 @@ FROM (SELECT *, CAST(stride * LEAST(frame_idx, m - 1) AS INT) AS src_frame FROM 
 """
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, stdlib-only (the last first-class web
+    image container: operators/multimodal.decode_gif — LZW entropy
+    decode with variable code width, CLEAR handling and the KwKwK case,
+    palette lookup, 4-pass interlace reordering, frame composition):
+    per document an animated GIF of 1..4 full frames is synthesized
+    over a 64-color palette whose entries AND per-pixel indices follow
+    doc/frame-dependent formulas; every 3rd document is interlaced (an
+    encoding-only change — the oracle is layout-blind, so a botched
+    deinterlace breaks the hash). The engine decodes every frame
+    (gif_features) into exact integer channel sums; the oracle
+    recomputes index → palette → sums analytically. Reference decode
+    analog: reference/datasets/videoset.py:66-95 (cv2 over compressed
+    frames); multi-frame extraction is the reference's video-frame
+    discipline on a different container."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        gif_features,
+        synth_gif,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "gif": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 3 + doc_id % 14, 3 + tlen % 12
+                n = 1 + doc_id % 4
+                pal = [
+                    ((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+                    for i in range(64)
+                ]
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    (doc_id * 7 + fi * 29 + y * 31 + x * 13) % 64
+                    for fi in range(n)
+                ]
+                out["doc_id"].append(doc_id)
+                out["gif"].append(
+                    synth_gif(frames, pal, delays=[4] * n,
+                              interlace=(doc_id % 3 == 0))
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, gif binary")
+    return gif_features(img, media_col="gif", id_col="doc_id")
+
+
+def _mm_gif_oracle() -> str:
+    # pixel index(x, y, f) = (doc_id*7 + f*29 + y*31 + x*13) % 64
+    # palette[i] = ((i*37+11)%256, (i*59+23)%256, (i*83+47)%256)
+    sums = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        "(((doc_id * 7 + frame_idx * 29 + (t // w) * 31 + (t % w) * 13) % 64)"
+        f" * {m} + {a}) % 256)) AS BIGINT) AS sum_{c}"
+        for c, m, a in (("r", 37, 11), ("g", 59, 23), ("b", 83, 47))
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 3 + length(text) % 12 AS h,
+         1 + doc_id % 4 AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, n, CAST(unnest(range(0, n)) AS INT) AS frame_idx FROM p
+)
+SELECT doc_id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, {sums}
+FROM f
+"""
+
+
 def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 CSV manifest round-trip (the reference builds its work list
     from a CSV of clip paths, reference/datasets/videoset.py:21-36 +
@@ -4834,6 +4912,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
+    "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

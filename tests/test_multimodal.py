@@ -681,3 +681,140 @@ def test_progressive_long_eob_runs_with_correction_bits():
     d0 = decode_jpeg(synth_jpeg(w, h, bfn, gray=True, ac_fn=afn))
     d1 = decode_jpeg(synth_jpeg_progressive(w, h, bfn, gray=True, ac_fn=afn))
     assert np.array_equal(d0["pixels"], d1["pixels"])
+
+
+# --- GIF -------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_stress():
+    """LZW encode->decode identity across the regimes that break naive
+    implementations: KwKwK-heavy constant runs, table growth through
+    every code width, and the early-clear at the 12-bit ceiling."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        (np.zeros(5000, dtype=int), 2),          # KwKwK ladder
+        (rng.integers(0, 64, 4000), 6),           # near-incompressible
+        (np.tile(np.arange(7), 3000), 3),         # periodic
+        (rng.integers(0, 8, 150000), 3),          # >4094 entries: clears
+        (np.array([1]), 2),                       # single pixel
+    ]
+    for seq, mcs in cases:
+        enc = _gif_lzw_encode(seq, mcs)
+        assert _gif_lzw_decode(enc, mcs, len(seq) + 1) == [int(x) for x in seq]
+
+
+def test_gif_roundtrip_pixels_exact():
+    """synth_gif -> decode_gif is pixel-exact for plain, interlaced and
+    local-palette frames."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif,
+    )
+
+    rng = np.random.default_rng(42)
+    pal = [((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+           for i in range(64)]
+    p = np.asarray(pal, dtype=np.uint8)
+    fr = rng.integers(0, 64, (13, 7))
+    g = decode_gif(synth_gif([fr], pal))
+    assert (g["width"], g["height"], g["n_frames"]) == (7, 13, 1)
+    assert (g["frames"][0] == p[fr]).all()
+
+    # interlace is an encoding-layout change only
+    fr2 = rng.integers(0, 64, (23, 5))
+    gi = decode_gif(synth_gif([fr2], pal, interlace=True))
+    assert (gi["frames"][0] == p[fr2]).all()
+
+    # local palette overrides the global table for its frame
+    lp = [((i * 5 + 3) % 256, (i * 9 + 1) % 256, (i * 13 + 7) % 256)
+          for i in range(16)]
+    fr3 = rng.integers(0, 16, (6, 6))
+    gl = decode_gif(synth_gif([fr3], pal, local_palettes=[lp]))
+    assert (gl["frames"][0] == np.asarray(lp, dtype=np.uint8)[fr3]).all()
+
+
+def test_gif_animation_composition_disposal_transparency():
+    """Frame composition semantics: transparency keeps the prior
+    canvas, disposal 2 clears the region to background (zeros),
+    disposal 3 restores the pre-frame canvas."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif,
+    )
+
+    pal = [((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+           for i in range(16)]
+    p = np.asarray(pal, dtype=np.uint8)
+
+    base = np.full((6, 6), 3, dtype=int)
+    patch = np.full((2, 2), 9, dtype=int)
+    patch[0, 0] = 7  # transparent hole
+    g = decode_gif(synth_gif(
+        [base, patch], pal, width=6, height=6,
+        offsets=[(0, 0), (2, 2)], transparent_idx=7, disposals=[1, 1],
+        delays=[5, 10]))
+    exp = p[base].copy()
+    exp[2:4, 2:4] = p[patch]
+    exp[2, 2] = p[3]  # hole shows frame-1 pixel
+    assert (g["frames"][1] == exp).all()
+    assert g["delays"] == [5, 10]
+
+    # disposal 3: the patch vanishes before frame 3 renders
+    a = np.full((4, 4), 3, dtype=int)
+    b = np.full((2, 2), 9, dtype=int)
+    c = np.full((1, 1), 12, dtype=int)
+    g3 = decode_gif(synth_gif(
+        [a, b, c], pal, width=4, height=4,
+        offsets=[(0, 0), (1, 1), (3, 3)], disposals=[1, 3, 1]))
+    exp3 = p[a].copy()
+    exp3[3, 3] = p[12]
+    assert (g3["frames"][2] == exp3).all()
+
+    # disposal 2: region restored to background zeros
+    g2 = decode_gif(synth_gif(
+        [a, b, c], pal, width=4, height=4,
+        offsets=[(0, 0), (1, 1), (3, 3)], disposals=[2, 1, 1]))
+    assert (g2["frames"][1][0, 0] == 0).all()  # frame-1 region cleared
+
+
+def test_gif_features_null_row_on_corrupt(spark):
+    """P9 guard: undecodable GIF bytes yield one null row, valid blobs
+    one row per frame."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        gif_features,
+        synth_gif,
+    )
+
+    pal = [(i, 255 - i, i // 2) for i in range(4)]
+    fr = np.ones((3, 3), dtype=int)
+    good = synth_gif([fr, fr], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"GIF89a\x00trash"))],
+        "doc_id long, media binary",
+    )
+    rows = {(r.doc_id, r.frame_idx) for r in gif_features(df).collect()}
+    assert rows == {(1, 0), (1, 1), (2, None)}
+
+
+def test_gif_rejects_garbage():
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)  # no image data
