@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "multimodal_audio",
     "multimodal_image",
     "multimodal_png",
+    "multimodal_png_palette",
     "multimodal_jpeg",
     "multimodal_jpeg_prog",
     "multimodal_jpeg_420",

@@ -16,7 +16,8 @@ Two media paths are REAL end-to-end with stdlib-only codecs:
   ``struct`` (BGR order, bottom-up rows, 4-byte padding — pixel
   round-trip tested), compressed PNG with :func:`decode_png`
   (stdlib zlib inflate + full scanline filter reconstruction, types
-  0-4, 8-bit RGB/RGBA), AND sequential + progressive JPEG with
+  0-4; 8-bit gray/RGB/RGBA/gray+alpha and 1/2/4/8-bit palette with
+  tRNS), AND sequential + progressive JPEG with
   :func:`decode_jpeg` (marker walk, canonical Huffman entropy decode,
   SOF2 spectral-selection/successive-approximation scans, restart
   intervals, dequantize, exact IDCT, JFIF color convert — grayscale,
@@ -62,22 +63,29 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(data: bytes):
     """REAL compressed-image decode for PNG via stdlib ``zlib`` +
-    ``struct``: chunk walk (IHDR/IDAT/IEND), inflate of the concatenated
-    IDAT stream, and full scanline filter reconstruction (types 0 None,
-    1 Sub, 2 Up, 3 Average, 4 Paeth — the complete PNG filter set) →
-    dict(width, height, bpp, pixels HxWxC uint8, RGB or RGBA). Supports
-    8-bit truecolor (color type 2) and truecolor+alpha (type 6),
-    non-interlaced — the formats web corpora overwhelmingly carry for
-    truecolor content. The reference decodes with cv2.imread-equivalent
+    ``struct``: chunk walk (IHDR/PLTE/tRNS/IDAT/IEND), inflate of the
+    concatenated IDAT stream, and full scanline filter reconstruction
+    (types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — the complete PNG
+    filter set) → dict(width, height, bpp, pixels HxWxC uint8).
+    Supports the color types web corpora carry: 8-bit truecolor
+    (type 2, → RGB), truecolor+alpha (type 6, → RGBA), 8-bit grayscale
+    (type 0, → replicated RGB like the grayscale JPEG path),
+    grayscale+alpha (type 4, → RGBA), and palette (type 3) at bit
+    depths 1/2/4/8 with MSB-first sample unpacking and optional tRNS
+    alpha (→ RGB, or RGBA when tRNS is present). ``bpp`` reports the
+    SOURCE bits per pixel (e.g. 4 for a 4-bit palette image), the
+    pixel array is always expanded to 8-bit RGB(A). Non-interlaced;
+    Adam7 and 16-bit channels still need a production codec. The
+    reference decodes with cv2.imread-equivalent
     (reference/datasets/videoset.py:66-95); this is the same decode
     step with zero third-party dependencies.
 
     Filter math: None/Up/Sub reconstruct vectorized (Sub is a per-lane
-    cumulative sum mod 256); Average/Paeth carry an in-row data
-    dependency and reconstruct per-pixel — fine for fixture-scale
-    images, and a production deployment swaps one function
-    (decode_image) for a native codec without touching the Spark
-    plumbing."""
+    cumulative sum mod 256 over the filter's byte stride); Average/
+    Paeth carry an in-row data dependency and reconstruct per-pixel —
+    fine for fixture-scale images, and a production deployment swaps
+    one function (decode_image) for a native codec without touching
+    the Spark plumbing."""
     import struct
     import zlib
 
@@ -87,6 +95,7 @@ def decode_png(data: bytes):
         raise ValueError("not a PNG")
     pos, width = 8, None
     idat = bytearray()
+    palette = trns = None
     height = bitdepth = colortype = interlace = None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack_from(">I4s", data, pos)
@@ -97,20 +106,32 @@ def decode_png(data: bytes):
             width, height, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", chunk)
             )
+        elif typ == b"PLTE":
+            if len(chunk) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+    ok = (colortype in (2, 6) and bitdepth == 8) or (
+        colortype in (0, 3) and bitdepth in (1, 2, 4, 8)
+    ) or (colortype == 4 and bitdepth == 8)
+    if not ok or interlace != 0:
         raise NotImplementedError(
-            "stdlib PNG path supports 8-bit RGB/RGBA non-interlaced; "
-            "other color types need a production codec"
+            "stdlib PNG path supports non-interlaced 8-bit gray/RGB/RGBA/"
+            "gray+alpha and 1/2/4/8-bit palette; Adam7 and 16-bit channels "
+            "need a production codec"
         )
-    ch = 3 if colortype == 2 else 4
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    # filter stride: bytes per reconstructed pixel group, min 1
+    fbpp = max(1, (nch * bitdepth) // 8)
+    stride = (width * nch * bitdepth + 7) // 8
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload truncated")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -125,21 +146,21 @@ def decode_png(data: bytes):
         pos += stride
         if ft == 0:
             recon = line
-        elif ft == 1:  # Sub: per-channel-lane prefix sum mod 256
-            recon = line.reshape(width, ch).cumsum(axis=0).reshape(stride) & 255
+        elif ft == 1:  # Sub: per-byte-lane prefix sum mod 256
+            recon = line.reshape(-1, fbpp).cumsum(axis=0).reshape(stride) & 255
         elif ft == 2:  # Up
             recon = (line + prior) & 255
         elif ft == 3:  # Average
             recon = line.copy()
             for x in range(stride):
-                left = recon[x - ch] if x >= ch else 0
+                left = recon[x - fbpp] if x >= fbpp else 0
                 recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 255
         elif ft == 4:  # Paeth
             recon = line.copy()
             for x in range(stride):
-                a = int(recon[x - ch]) if x >= ch else 0
+                a = int(recon[x - fbpp]) if x >= fbpp else 0
                 b = int(prior[x])
-                c = int(prior[x - ch]) if x >= ch else 0
+                c = int(prior[x - fbpp]) if x >= fbpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -148,12 +169,38 @@ def decode_png(data: bytes):
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = recon.astype(np.uint8)
         prior = recon.astype(np.int32)
-    return {
-        "width": width,
-        "height": height,
-        "bpp": 8 * ch,
-        "pixels": out.reshape(height, width, ch),
-    }
+    if bitdepth < 8:
+        # MSB-first sub-byte samples: unpack bits, regroup per sample
+        bits = np.unpackbits(out, axis=1)
+        weights = 1 << np.arange(bitdepth - 1, -1, -1)
+        samples = (bits.reshape(height, -1, bitdepth) * weights).sum(axis=2)
+        samples = samples[:, :width]
+    else:
+        samples = out.reshape(height, width, nch) if nch > 1 else out[:, :width]
+    src_bpp = nch * bitdepth
+    if colortype == 0:
+        maxv = (1 << bitdepth) - 1
+        gray = (samples.astype(np.int64) * 255 // maxv).astype(np.uint8)
+        px = np.repeat(gray[:, :, None], 3, axis=2)
+    elif colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(samples.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        px = palette[samples]
+        src_bpp = bitdepth
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            px = np.concatenate([px, alpha[samples][:, :, None]], axis=2)
+    elif colortype == 4:
+        gray, alpha = samples[:, :, 0], samples[:, :, 1]
+        px = np.concatenate(
+            [np.repeat(gray[:, :, None], 3, axis=2), alpha[:, :, None]], axis=2
+        )
+    else:
+        px = samples
+    return {"width": width, "height": height, "bpp": src_bpp, "pixels": px}
 
 
 def synth_png(width: int, height: int, pixel_fn, filter_cycle=(0, 1, 2, 3, 4), rgba=False) -> bytes:
@@ -212,6 +259,93 @@ def synth_png(width: int, height: int, pixel_fn, filter_cycle=(0, 1, 2, 3, 4), r
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def synth_png_indexed(
+    indices,
+    palette,
+    *,
+    bitdepth: int = 8,
+    gray: bool = False,
+    trns=None,
+    filter_cycle=(0, 2),
+) -> bytes:
+    """Serialize a 2-D sample grid into a real palette (color type 3)
+    or grayscale (type 0) PNG at bit depth 1/2/4/8: MSB-first sub-byte
+    sample packing, PLTE/tRNS chunks, per-row filters cycling through
+    ``filter_cycle`` over the packed bytes (stride 1 — exactly how
+    type-3/0 filters operate), proper CRCs. The generator behind the
+    ``multimodal_png_palette`` registry row and the indexed/gray
+    round-trip tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    grid = np.asarray(indices, dtype=np.int64)
+    height, width = grid.shape
+    if bitdepth not in (1, 2, 4, 8):
+        raise ValueError("bitdepth must be 1, 2, 4 or 8")
+    if grid.min() < 0 or grid.max() >= (1 << bitdepth):
+        raise ValueError("sample out of range for bit depth")
+    stride = (width * bitdepth + 7) // 8
+    packed = np.zeros((height, stride), dtype=np.uint8)
+    if bitdepth == 8:
+        packed[:, :width] = grid.astype(np.uint8)
+    else:
+        weights = 1 << np.arange(bitdepth - 1, -1, -1)
+        bits = ((grid[:, :, None] & weights) > 0).astype(np.uint8)
+        bits = bits.reshape(height, width * bitdepth)
+        pad = stride * 8 - width * bitdepth
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((height, pad), dtype=np.uint8)], axis=1
+            )
+        packed = np.packbits(bits, axis=1)
+    lines = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ft = filter_cycle[y % len(filter_cycle)]
+        row = packed[y].astype(np.int32)
+        left = np.zeros(stride, dtype=np.int32)
+        left[1:] = row[:-1]
+        upleft = np.zeros(stride, dtype=np.int32)
+        upleft[1:] = prior[:-1]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = (row - left) & 255
+        elif ft == 2:
+            filt = (row - prior) & 255
+        elif ft == 3:
+            filt = (row - ((left + prior) >> 1)) & 255
+        else:  # Paeth
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = (row - pred) & 255
+        lines += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    colortype = 0 if gray else 3
+    out = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, bitdepth, colortype, 0, 0, 0)
+    )
+    if not gray:
+        plte = bytearray()
+        for r, g, b in palette:
+            plte += bytes((r, g, b))
+        out += chunk(b"PLTE", bytes(plte))
+        if trns is not None:
+            out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(bytes(lines), 6)) + chunk(b"IEND", b"")
+    return out
 
 
 # ------------------------------------------------------------- JPEG

@@ -2170,6 +2170,85 @@ FROM p
 """
 
 
+def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-color PNG decode (operators/multimodal.decode_png:
+    PLTE palette lookup + MSB-first sub-byte sample unpacking at bit
+    depths 1/2/4/8 — the icon/screenshot format class the truecolor
+    row can't reach): per document a palette PNG is synthesized whose
+    bit depth cycles 1→2→4→8 with the document id, with per-row filters
+    cycling through all five PNG filter types over the PACKED bytes
+    (stride-1 filter lanes — a different reconstruction geometry than
+    the truecolor row's per-channel lanes). The engine decodes,
+    resizes (nearest), and channel-sums; the oracle recomputes index →
+    palette → sums analytically, so a bit-unpack, palette-lookup,
+    packed-byte filter, or resize bug breaks the hash. Reference
+    decode analog: reference/datasets/videoset.py:66-95."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_png_indexed,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 3 + doc_id % 14, 3 + tlen % 13
+                bd = (1, 2, 4, 8)[doc_id % 4]
+                pal = [
+                    ((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+                    for i in range(1 << bd)
+                ]
+                y, x = np.mgrid[0:h, 0:w]
+                grid = (doc_id * 7 + y * 31 + x * 13) % (1 << bd)
+                rot = doc_id % 5
+                cycle = tuple((rot + i) % 5 for i in range(5))
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_png_indexed(grid, pal, bitdepth=bd, filter_cycle=cycle)
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def _mm_png_palette_oracle() -> str:
+    # index(x, y) = (doc_id*7 + y*31 + x*13) % 2^bd,
+    # palette[i] = ((i*37+11)%256, (i*59+23)%256, (i*83+47)%256)
+    full = ", ".join(
+        "CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)), t -> "
+        "(((doc_id * 7 + (t // w) * 31 + (t % w) * 13) % m)"
+        f" * {mul} + {add}) % 256)) AS BIGINT) AS sum_{c}"
+        for c, mul, add in (("r", 37, 11), ("g", 59, 23), ("b", 83, 47))
+    )
+    rs = ", ".join(
+        "CAST(list_sum(list_transform(range(0, 48), t -> "
+        "(((doc_id * 7 + (((t // 8) * h) // 6) * 31 + (((t % 8) * w) // 8) * 13) % m)"
+        f" * {mul} + {add}) % 256)) AS BIGINT) AS rs_sum_{c}"
+        for c, mul, add in (("r", 37, 11), ("g", 59, 23), ("b", 83, 47))
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, 3 + doc_id % 14 AS w, 3 + length(text) % 13 AS h,
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS bd,
+         CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 256 END AS m
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(bd AS INT) AS bpp, {full}, {rs}
+FROM p
+"""
+
+
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL DCT-compressed-image decode (stdlib baseline JPEG codec:
     marker walk, canonical Huffman entropy decode, dequantize, exact
@@ -4913,6 +4992,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
     "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
+    "multimodal_png_palette": (q_multimodal_png_palette, _mm_png_palette_oracle()),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

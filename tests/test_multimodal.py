@@ -818,3 +818,108 @@ def test_gif_rejects_garbage():
         decode_gif(b"NOTAGIF")
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a" + b"\x00" * 20)  # no image data
+
+
+# --- PNG palette / grayscale ------------------------------------------
+
+
+def test_png_indexed_roundtrip_all_depths_and_filters():
+    """Palette (type 3) and grayscale (type 0) at bit depths 1/2/4/8:
+    MSB-first sub-byte unpacking under every filter type over packed
+    bytes, gray values scaled to 0..255."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_png,
+        synth_png_indexed,
+    )
+
+    rng = np.random.default_rng(17)
+    pal = [((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+           for i in range(256)]
+    p = np.asarray(pal, dtype=np.uint8)
+    for bd in (1, 2, 4, 8):
+        grid = rng.integers(0, 1 << bd, (13, 11))
+        d = decode_png(synth_png_indexed(
+            grid, pal[: 1 << bd], bitdepth=bd, filter_cycle=(0, 1, 2, 3, 4)))
+        assert d["bpp"] == bd
+        assert (d["pixels"] == p[grid]).all()
+
+        g = decode_png(synth_png_indexed(
+            grid, None, bitdepth=bd, gray=True, filter_cycle=(4, 3, 2, 1, 0)))
+        exp = (grid * 255 // ((1 << bd) - 1)).astype(np.uint8)
+        assert (g["pixels"] == np.repeat(exp[:, :, None], 3, axis=2)).all()
+
+
+def test_png_trns_alpha_and_gray_alpha():
+    """tRNS alpha on palette images (255 default past the chunk) and a
+    hand-built type-4 gray+alpha PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_png,
+        synth_png_indexed,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    grid = rng.integers(0, 16, (5, 4))
+    tr = bytes(range(0, 60, 6))  # 10 entries
+    d = decode_png(synth_png_indexed(grid, pal, bitdepth=4, trns=tr))
+    assert d["pixels"].shape == (5, 4, 4)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:10] = np.frombuffer(tr, dtype=np.uint8)
+    assert (d["pixels"][:, :, 3] == alpha[grid]).all()
+
+    # type 4: gray+alpha, filter 0 rows
+    w, h = 3, 2
+    gray = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    al = np.array([[255, 128, 0], [1, 2, 3]], dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw += bytes((gray[y, x], al[y, x]))
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    d4 = decode_png(png)
+    assert d4["bpp"] == 16
+    assert (d4["pixels"][:, :, 0] == gray).all()
+    assert (d4["pixels"][:, :, 1] == gray).all()
+    assert (d4["pixels"][:, :, 3] == al).all()
+
+
+def test_png_still_rejects_interlace_and_16bit():
+    import struct
+    import zlib
+
+    import pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import decode_png
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    def mk(bd, ct, il):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, bd, ct, 0, 0, il))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(8, 2, 1))  # Adam7
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(16, 2, 0))  # 16-bit channels
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(4, 2, 0))  # sub-byte truecolor is not a legal combo
