@@ -730,13 +730,18 @@ def decode_jpeg(data: bytes):
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 i += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
                 tbl = np.zeros(64, dtype=np.int32)
                 for z in range(64):
-                    tbl[_JPEG_ZIGZAG[z]] = seg[i + z]
+                    # pq=1: 16-bit big-endian entries (T.81 B.2.4.1)
+                    tbl[_JPEG_ZIGZAG[z]] = (
+                        struct.unpack_from(">H", seg, i + 2 * z)[0]
+                        if pq
+                        else seg[i + z]
+                    )
                 qt[tq] = tbl.reshape(8, 8)
-                i += 64
+                i += 128 if pq else 64
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             progressive = marker == 0xC2
             _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)

@@ -923,3 +923,53 @@ def test_png_still_rejects_interlace_and_16bit():
         decode_png(mk(16, 2, 0))  # 16-bit channels
     with pytest.raises(NotImplementedError):
         decode_png(mk(4, 2, 0))  # sub-byte truecolor is not a legal combo
+
+
+def test_jpeg_16bit_quant_tables_parity():
+    """A DQT re-encoded at 16-bit precision (pq=1, T.81 B.2.4.1) with
+    the same values decodes pixel-identically to the 8-bit original."""
+    import struct
+
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg,
+    )
+
+    def widen_dqt(data: bytes) -> bytes:
+        out = bytearray(data[:2])
+        pos = 2
+        while pos < len(data):
+            assert data[pos] == 0xFF
+            marker = data[pos + 1]
+            if marker == 0xDA:  # SOS: copy the rest verbatim
+                out += data[pos:]
+                break
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            seg = data[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:
+                new = bytearray()
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    assert pq == 0
+                    new.append(0x10 | tq)  # pq=1
+                    for v in seg[i + 1 : i + 65]:
+                        new += struct.pack(">H", v)
+                    i += 65
+                out += b"\xff\xdb" + struct.pack(">H", len(new) + 2) + new
+            else:
+                out += data[pos : pos + 2 + ln]
+            pos += 2 + ln
+        return bytes(out)
+
+    def bf(bx, by):
+        return ((bx * 31 + by * 17) % 256, 128, 128)
+
+    for gray in (False, True):
+        j8 = synth_jpeg(24, 16, bf, gray=gray)
+        j16 = widen_dqt(j8)
+        d8, d16 = decode_jpeg(j8), decode_jpeg(j16)
+        assert (d8["pixels"] == d16["pixels"]).all()
+        assert d8["bpp"] == d16["bpp"]
