@@ -67,3 +67,48 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched extraction over ``html: binary``. Same code as the
     oracle, applied per Arrow batch."""
     return html.map(extract_text)
+
+
+# --- charset detection / transcoding ---------------------------------
+# Real crawls carry mixed encodings (HTTP bodies predate the UTF-8
+# monoculture); the ingest pipeline must label and transcode them
+# WITHOUT a per-row Python pass. Everything below is built-in Column
+# expressions (BOM sniff on binary slices, Spark 4's is_valid_utf8,
+# JVM decode()) — whole-stage codegen, no UDF.
+
+_MAXLEN = (1 << 31) - 1
+
+
+def detect_charset(payload):
+    """Charset label for a binary HTTP-body column, the standard
+    crawl-ingest heuristic: BOM sniff (UTF-8 / UTF-16LE / UTF-16BE —
+    UTF-16 additionally requires an even byte length, else the decode
+    would be malformed), then UTF-8 validation, then the ISO-8859-1
+    fallback (every byte sequence is valid Latin-1). Pure JVM-side
+    expression over binary slices."""
+    head3 = F.substring(payload, 1, 3)
+    head2 = F.substring(payload, 1, 2)
+    even = F.length(payload) % 2 == 0
+    return (
+        F.when(head3 == F.lit(b"\xef\xbb\xbf"), F.lit("utf-8-bom"))
+        .when((head2 == F.lit(b"\xff\xfe")) & even, F.lit("utf-16le"))
+        .when((head2 == F.lit(b"\xfe\xff")) & even, F.lit("utf-16be"))
+        .when(F.is_valid_utf8(payload), F.lit("utf-8"))
+        .otherwise(F.lit("iso-8859-1"))
+    )
+
+
+def decode_charset(payload, charset=None):
+    """Transcode a binary body to a UTF-8 string per its (detected)
+    charset: BOMs are stripped, UTF-16 variants decode with the JVM
+    codec, and the Latin-1 fallback is total (never malformed), so the
+    expression cannot raise at scale. Pass ``charset`` to reuse an
+    already-computed :func:`detect_charset` column."""
+    cs = charset if charset is not None else detect_charset(payload)
+    return (
+        F.when(cs == "utf-8-bom", F.decode(F.substring(payload, 4, _MAXLEN), "UTF-8"))
+        .when(cs == "utf-16le", F.decode(F.substring(payload, 3, _MAXLEN), "UTF-16LE"))
+        .when(cs == "utf-16be", F.decode(F.substring(payload, 3, _MAXLEN), "UTF-16BE"))
+        .when(cs == "utf-8", F.decode(payload, "UTF-8"))
+        .otherwise(F.decode(payload, "ISO-8859-1"))
+    )

@@ -2170,6 +2170,61 @@ FROM p
 """
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection + transcoding over binary HTTP bodies, fully
+    JVM-side (functions/extraction.detect_charset / decode_charset: BOM
+    sniff on binary slices, Spark 4 is_valid_utf8, JVM decode — zero
+    Python on the hot path, whole-stage codegen): per document a payload
+    is synthesized IN SPARK by encoding the text as one of five wire
+    formats (UTF-8, BOM'd UTF-8, BOM'd UTF-16LE/BE, and Latin-1 — the
+    ASCII projection of the text plus two invalid-UTF-8 high bytes), and
+    the engine must label the charset from the BYTES alone and transcode
+    back. The oracle knows the class analytically from doc_id and the
+    round-trip law decoded == text (Latin-1: stripped text + 'éè'), so a
+    BOM-sniff, validity, slice, or codec bug breaks the hash. The
+    crawl-ingest step every real web corpus needs before text ops
+    (reference analog: the reference assumes pre-decoded inputs;
+    reference/datasets/videoset.py:21-36 sidesteps charsets entirely)."""
+    from slowfast_feature_extractor_spark.functions.extraction import (
+        decode_charset,
+        detect_charset,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    stripped = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    cls = F.col("doc_id") % 5
+    payload = (
+        F.when(cls == 0, F.encode(F.col("text"), "UTF-8"))
+        .when(cls == 1, F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(F.col("text"), "UTF-8")))
+        .when(cls == 2, F.concat(F.lit(b"\xff\xfe"), F.encode(F.col("text"), "UTF-16LE")))
+        .when(cls == 3, F.concat(F.lit(b"\xfe\xff"), F.encode(F.col("text"), "UTF-16BE")))
+        .otherwise(F.concat(F.encode(stripped, "UTF-8"), F.lit(b"\xe9\xe8")))
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    cs = detect_charset(F.col("payload"))
+    return p.select(
+        "doc_id",
+        cs.alias("charset"),
+        decode_charset(F.col("payload"), cs).alias("decoded"),
+    )
+
+
+ORACLE_CHARSET_DETECT = """
+WITH p AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS stripped,
+         doc_id % 5 AS cls
+  FROM documents
+)
+SELECT doc_id,
+       CASE cls WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+                WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+                ELSE 'iso-8859-1' END AS charset,
+       CASE WHEN cls <= 3 THEN text ELSE stripped || 'éè' END AS decoded
+FROM p
+"""
+
+
 def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL indexed-color PNG decode (operators/multimodal.decode_png:
     PLTE palette lookup + MSB-first sub-byte sample unpacking at bit
@@ -4993,6 +5048,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
     "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
     "multimodal_png_palette": (q_multimodal_png_palette, _mm_png_palette_oracle()),
+    "charset_detect": (q_charset_detect, ORACLE_CHARSET_DETECT),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

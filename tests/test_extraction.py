@@ -46,3 +46,38 @@ def test_fixture_covers_edge_cases(pages_pd):
     assert any(b"\xff\xfe" in h for h in htmls), "non-UTF8 case missing"
     assert any(h.endswith(b"<div unclosed") for h in htmls), "malformed tail missing"
     assert any(b"<body></body>" in h for h in htmls), "empty body missing"
+
+
+def test_charset_detect_and_decode(spark):
+    from slowfast_feature_extractor_spark.functions.extraction import (
+        decode_charset,
+        detect_charset,
+    )
+
+    cases = [
+        # (payload, want_charset, want_decoded)
+        (b"plain ascii", "utf-8", "plain ascii"),
+        ("café".encode("utf-8"), "utf-8", "café"),
+        (b"\xef\xbb\xbf" + "bom'd".encode("utf-8"), "utf-8-bom", "bom'd"),
+        (b"\xff\xfe" + "hié".encode("utf-16-le"), "utf-16le", "hié"),
+        (b"\xfe\xff" + "hié".encode("utf-16-be"), "utf-16be", "hié"),
+        # raw Latin-1 high bytes: invalid UTF-8, total fallback
+        (b"caf\xe9", "iso-8859-1", "café"),
+        # FF FE prefix but ODD length: not a plausible UTF-16LE body
+        (b"\xff\xfeabc", "iso-8859-1", "ÿþabc"),
+        # empty body: vacuously valid UTF-8
+        (b"", "utf-8", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _, _) in enumerate(cases)], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["cs"], r["txt"])
+        for r in df.select(
+            "id",
+            detect_charset(F.col("payload")).alias("cs"),
+            decode_charset(F.col("payload")).alias("txt"),
+        ).collect()
+    }
+    for i, (_, want_cs, want_txt) in enumerate(cases):
+        assert got[i] == (want_cs, want_txt), f"case {i}: {got[i]}"
