@@ -60,6 +60,87 @@ META_SCHEMA = (
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass geometry: (x_origin, y_origin, x_step, y_step). Each pass
+# is an independent sub-image with its own scanline stream (filter byte
+# + packed samples at the PASS width; `prior` resets per pass).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, offset: int, height: int, stride: int, fbpp: int):
+    """Reconstruct ``height`` filtered scanlines of ``stride`` bytes
+    starting at ``offset`` in the inflated IDAT stream; returns
+    ``(rows uint8 (height, stride), next_offset)``. Filter math per the
+    PNG spec: None/Sub/Up vectorized (Sub is a per-lane cumulative sum
+    mod 256 over the filter's byte stride), Average/Paeth carry an
+    in-row data dependency and reconstruct per-byte."""
+    import numpy as np
+
+    if offset + height * (stride + 1) > len(raw):
+        raise ValueError("PNG scanline payload truncated")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = offset
+    for r in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: per-byte-lane prefix sum mod 256
+            recon = line.reshape(-1, fbpp).cumsum(axis=0).reshape(stride) & 255
+        elif ft == 2:  # Up
+            recon = (line + prior) & 255
+        elif ft == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - fbpp] if x >= fbpp else 0
+                recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                a = int(recon[x - fbpp]) if x >= fbpp else 0
+                b = int(prior[x])
+                c = int(prior[x - fbpp]) if x >= fbpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = recon.astype(np.uint8)
+        prior = recon.astype(np.int32)
+    return out, pos
+
+
+def _png_samples(rows, width: int, height: int, nch: int, bitdepth: int):
+    """Reconstructed scanline bytes → sample grid at 8-bit precision:
+    sub-byte depths unpack MSB-first, 16-bit channels keep the
+    most-significant byte (the standard 16→8 reduction; big-endian per
+    spec, so that's byte 0 of each sample pair). Returns (h, w, nch)
+    for multi-channel, (h, w) for single-channel."""
+    import numpy as np
+
+    if bitdepth < 8:  # only legal for single-channel (gray/palette)
+        bits = np.unpackbits(rows, axis=1)
+        weights = 1 << np.arange(bitdepth - 1, -1, -1)
+        samples = (bits.reshape(height, -1, bitdepth) * weights).sum(axis=2)
+        return samples[:, :width]
+    if bitdepth == 16:
+        hi = rows[:, 0::2]  # big-endian high bytes
+        return hi.reshape(height, width, nch) if nch > 1 else hi[:, :width]
+    return rows.reshape(height, width, nch) if nch > 1 else rows[:, :width]
+
 
 def decode_png(data: bytes):
     """REAL compressed-image decode for PNG via stdlib ``zlib`` +
@@ -72,11 +153,14 @@ def decode_png(data: bytes):
     (type 0, → replicated RGB like the grayscale JPEG path),
     grayscale+alpha (type 4, → RGBA), and palette (type 3) at bit
     depths 1/2/4/8 with MSB-first sample unpacking and optional tRNS
-    alpha (→ RGB, or RGBA when tRNS is present). ``bpp`` reports the
-    SOURCE bits per pixel (e.g. 4 for a 4-bit palette image), the
-    pixel array is always expanded to 8-bit RGB(A). Non-interlaced;
-    Adam7 and 16-bit channels still need a production codec. The
-    reference decodes with cv2.imread-equivalent
+    alpha (→ RGB, or RGBA when tRNS is present). 16-bit channels
+    (types 0/2/4/6) decode with the standard most-significant-byte
+    reduction, and Adam7 interlacing (seven independently filtered
+    sub-images scattered back on the pass grid, empty passes skipped)
+    is handled for every supported color type. ``bpp`` reports the
+    SOURCE bits per pixel (e.g. 4 for a 4-bit palette image, 48 for
+    16-bit RGB), the pixel array is always expanded to 8-bit RGB(A).
+    The reference decodes with cv2.imread-equivalent
     (reference/datasets/videoset.py:66-95); this is the same decode
     step with zero third-party dependencies.
 
@@ -118,68 +202,43 @@ def decode_png(data: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    ok = (colortype in (2, 6) and bitdepth == 8) or (
-        colortype in (0, 3) and bitdepth in (1, 2, 4, 8)
-    ) or (colortype == 4 and bitdepth == 8)
-    if not ok or interlace != 0:
+    ok = (colortype in (2, 4, 6) and bitdepth in (8, 16)) or (
+        colortype == 0 and bitdepth in (1, 2, 4, 8, 16)
+    ) or (colortype == 3 and bitdepth in (1, 2, 4, 8))
+    if not ok or interlace not in (0, 1):
         raise NotImplementedError(
-            "stdlib PNG path supports non-interlaced 8-bit gray/RGB/RGBA/"
-            "gray+alpha and 1/2/4/8-bit palette; Adam7 and 16-bit channels "
-            "need a production codec"
+            "stdlib PNG path supports gray/RGB/RGBA/gray+alpha at 8/16-bit, "
+            "1/2/4/8-bit gray and palette, sequential or Adam7; anything "
+            "else needs a production codec"
         )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
     # filter stride: bytes per reconstructed pixel group, min 1
     fbpp = max(1, (nch * bitdepth) // 8)
-    stride = (width * nch * bitdepth + 7) // 8
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline payload truncated")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for r in range(height):
-        ft = raw[pos]
-        pos += 1
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
-            np.int32
-        )
-        pos += stride
-        if ft == 0:
-            recon = line
-        elif ft == 1:  # Sub: per-byte-lane prefix sum mod 256
-            recon = line.reshape(-1, fbpp).cumsum(axis=0).reshape(stride) & 255
-        elif ft == 2:  # Up
-            recon = (line + prior) & 255
-        elif ft == 3:  # Average
-            recon = line.copy()
-            for x in range(stride):
-                left = recon[x - fbpp] if x >= fbpp else 0
-                recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 255
-        elif ft == 4:  # Paeth
-            recon = line.copy()
-            for x in range(stride):
-                a = int(recon[x - fbpp]) if x >= fbpp else 0
-                b = int(prior[x])
-                c = int(prior[x - fbpp]) if x >= fbpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (recon[x] + pred) & 255
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = recon.astype(np.uint8)
-        prior = recon.astype(np.int32)
-    if bitdepth < 8:
-        # MSB-first sub-byte samples: unpack bits, regroup per sample
-        bits = np.unpackbits(out, axis=1)
-        weights = 1 << np.arange(bitdepth - 1, -1, -1)
-        samples = (bits.reshape(height, -1, bitdepth) * weights).sum(axis=2)
-        samples = samples[:, :width]
-    else:
-        samples = out.reshape(height, width, nch) if nch > 1 else out[:, :width]
+    if interlace == 0:
+        stride = (width * nch * bitdepth + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline payload truncated")
+        rows, _ = _png_unfilter(raw, 0, height, stride, fbpp)
+        samples = _png_samples(rows, width, height, nch, bitdepth)
+    else:  # Adam7: seven independently filtered sub-images, scattered
+        shape = (height, width, nch) if nch > 1 else (height, width)
+        samples = np.zeros(shape, dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size — no scanlines
+            pstride = (pw * nch * bitdepth + 7) // 8
+            rows, pos = _png_unfilter(raw, pos, ph, pstride, fbpp)
+            samples[y0::dy, x0::dx] = _png_samples(rows, pw, ph, nch, bitdepth)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced payload has trailing bytes")
     src_bpp = nch * bitdepth
     if colortype == 0:
-        maxv = (1 << bitdepth) - 1
+        # 16-bit already reduced to its high byte in _png_samples
+        maxv = (1 << min(bitdepth, 8)) - 1
         gray = (samples.astype(np.int64) * 255 // maxv).astype(np.uint8)
         px = np.repeat(gray[:, :, None], 3, axis=2)
     elif colortype == 3:
@@ -203,33 +262,23 @@ def decode_png(data: bytes):
     return {"width": width, "height": height, "bpp": src_bpp, "pixels": px}
 
 
-def synth_png(width: int, height: int, pixel_fn, filter_cycle=(0, 1, 2, 3, 4), rgba=False) -> bytes:
-    """Serialize ``pixel_fn(x, y) -> (r, g, b[, a])`` into a real PNG
-    blob — proper chunk CRCs, zlib-compressed IDAT, and REAL per-row
-    filters cycling through ``filter_cycle`` so every reconstruction
-    branch of :func:`decode_png` is exercised by round-trip fixtures
-    (the ``multimodal_png`` registry row and tests)."""
-    import struct
-    import zlib
-
+def _png_filter_rows(out: bytearray, rows, fbpp: int, filter_cycle) -> None:
+    """Apply per-row PNG filters from ``filter_cycle`` to a (n, stride)
+    uint8 scanline matrix and append ``filter_byte + filtered`` lines
+    to ``out``. Shared by the sequential and Adam7 emit paths (Adam7
+    calls it once per pass — `prior` resets per pass, as the spec
+    requires)."""
     import numpy as np
 
-    ch = 4 if rgba else 3
-    px = np.zeros((height, width, ch), dtype=np.uint8)
-    for y in range(height):
-        for x in range(width):
-            px[y, x] = pixel_fn(x, y)[:ch]
-    flat = px.reshape(height, width * ch).astype(np.int32)
-    stride = width * ch
-    lines = bytearray()
+    n, stride = rows.shape
     prior = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
+    for y in range(n):
         ft = filter_cycle[y % len(filter_cycle)]
-        row = flat[y]
+        row = rows[y].astype(np.int32)
         left = np.zeros(stride, dtype=np.int32)
-        left[ch:] = row[:-ch]
+        left[fbpp:] = row[: stride - fbpp]
         upleft = np.zeros(stride, dtype=np.int32)
-        upleft[ch:] = prior[:-ch]
+        upleft[fbpp:] = prior[: stride - fbpp]
         if ft == 0:
             filt = row
         elif ft == 1:
@@ -245,14 +294,80 @@ def synth_png(width: int, height: int, pixel_fn, filter_cycle=(0, 1, 2, 3, 4), r
                 (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
             )
             filt = (row - pred) & 255
-        lines += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        out += bytes([ft]) + filt.astype(np.uint8).tobytes()
         prior = row
+
+
+def _png_expand16(px8):
+    """8-bit (h, w, ch) pixels → big-endian 16-bit scanline bytes whose
+    HIGH byte is the 8-bit value and whose low byte is deterministic
+    junk derived from it — a decoder that misreads sample width or
+    endianness sees the junk and breaks the fixture hash."""
+    import numpy as np
+
+    h = px8.shape[0]
+    hi = px8.reshape(h, -1)
+    lo = ((hi.astype(np.int32) * 167 + 89) % 256).astype(np.uint8)
+    rows = np.empty((h, hi.shape[1] * 2), dtype=np.uint8)
+    rows[:, 0::2] = hi
+    rows[:, 1::2] = lo
+    return rows
+
+
+def synth_png(
+    width: int,
+    height: int,
+    pixel_fn,
+    filter_cycle=(0, 1, 2, 3, 4),
+    rgba=False,
+    bitdepth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Serialize ``pixel_fn(x, y) -> (r, g, b[, a])`` into a real PNG
+    blob — proper chunk CRCs, zlib-compressed IDAT, and REAL per-row
+    filters cycling through ``filter_cycle`` so every reconstruction
+    branch of :func:`decode_png` is exercised by round-trip fixtures
+    (the ``multimodal_png*`` registry rows and tests). ``bitdepth=16``
+    widens every sample to big-endian 16-bit (high byte = the 8-bit
+    value, low byte deterministic junk the decoder's MSB reduction must
+    discard); ``interlace=1`` emits the seven Adam7 passes, each
+    independently filtered at its own pass width."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bitdepth not in (8, 16):
+        raise ValueError("synth_png emits 8- or 16-bit channels")
+    ch = 4 if rgba else 3
+    px = np.zeros((height, width, ch), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            px[y, x] = pixel_fn(x, y)[:ch]
+    fbpp = ch * (bitdepth // 8)
+    lines = bytearray()
+    if interlace == 0:
+        rows = _png_expand16(px) if bitdepth == 16 else px.reshape(height, width * ch)
+        _png_filter_rows(lines, rows, fbpp, filter_cycle)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = (
+                _png_expand16(sub)
+                if bitdepth == 16
+                else sub.reshape(sub.shape[0], sub.shape[1] * ch)
+            )
+            _png_filter_rows(lines, rows, fbpp, filter_cycle)
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
         return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bitdepth, 6 if rgba else 2, 0, 0, interlace
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -269,6 +384,7 @@ def synth_png_indexed(
     gray: bool = False,
     trns=None,
     filter_cycle=(0, 2),
+    interlace: int = 0,
 ) -> bytes:
     """Serialize a 2-D sample grid into a real palette (color type 3)
     or grayscale (type 0) PNG at bit depth 1/2/4/8: MSB-first sub-byte
@@ -288,46 +404,31 @@ def synth_png_indexed(
         raise ValueError("bitdepth must be 1, 2, 4 or 8")
     if grid.min() < 0 or grid.max() >= (1 << bitdepth):
         raise ValueError("sample out of range for bit depth")
-    stride = (width * bitdepth + 7) // 8
-    packed = np.zeros((height, stride), dtype=np.uint8)
-    if bitdepth == 8:
-        packed[:, :width] = grid.astype(np.uint8)
-    else:
+
+    def pack(g):
+        h, w = g.shape
+        s = (w * bitdepth + 7) // 8
+        if bitdepth == 8:
+            out = np.zeros((h, s), dtype=np.uint8)
+            out[:, :w] = g.astype(np.uint8)
+            return out
         weights = 1 << np.arange(bitdepth - 1, -1, -1)
-        bits = ((grid[:, :, None] & weights) > 0).astype(np.uint8)
-        bits = bits.reshape(height, width * bitdepth)
-        pad = stride * 8 - width * bitdepth
+        bits = ((g[:, :, None] & weights) > 0).astype(np.uint8)
+        bits = bits.reshape(h, w * bitdepth)
+        pad = s * 8 - w * bitdepth
         if pad:
-            bits = np.concatenate(
-                [bits, np.zeros((height, pad), dtype=np.uint8)], axis=1
-            )
-        packed = np.packbits(bits, axis=1)
+            bits = np.concatenate([bits, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+        return np.packbits(bits, axis=1)
+
     lines = bytearray()
-    prior = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        ft = filter_cycle[y % len(filter_cycle)]
-        row = packed[y].astype(np.int32)
-        left = np.zeros(stride, dtype=np.int32)
-        left[1:] = row[:-1]
-        upleft = np.zeros(stride, dtype=np.int32)
-        upleft[1:] = prior[:-1]
-        if ft == 0:
-            filt = row
-        elif ft == 1:
-            filt = (row - left) & 255
-        elif ft == 2:
-            filt = (row - prior) & 255
-        elif ft == 3:
-            filt = (row - ((left + prior) >> 1)) & 255
-        else:  # Paeth
-            p = left + prior - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
-            )
-            filt = (row - pred) & 255
-        lines += bytes([ft]) + filt.astype(np.uint8).tobytes()
-        prior = row
+    if interlace == 0:
+        _png_filter_rows(lines, pack(grid), 1, filter_cycle)
+    else:  # Adam7 over packed sub-byte rows, one filtered stream per pass
+        for x0, y0, dx, dy in _ADAM7:
+            sub = grid[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            _png_filter_rows(lines, pack(sub), 1, filter_cycle)
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
@@ -335,7 +436,8 @@ def synth_png_indexed(
 
     colortype = 0 if gray else 3
     out = _PNG_SIG + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", width, height, bitdepth, colortype, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, bitdepth, colortype, 0, 0, interlace),
     )
     if not gray:
         plte = bytearray()

@@ -2140,7 +2140,11 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
 
 
-def _mm_png_oracle() -> str:
+def _mm_png_oracle(channel_bits: int = 8) -> str:
+    """Analytic oracle for the truecolor PNG rows: channel sums from the
+    shared pixel formula (layout-independent — the same SQL covers the
+    sequential, Adam7, and 16-bit rows; only the reported source bpp
+    depends on ``channel_bits``)."""
     chans = {
         "r": "(doc_id * 7 + y * 31 + x * 13) % 256",
         "g": "(doc_id * 11 + y * 17 + x * 5) % 256",
@@ -2164,7 +2168,7 @@ WITH p AS (
   FROM documents
 )
 SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 24 END AS INT) AS bpp,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN {4 * channel_bits} ELSE {3 * channel_bits} END AS INT) AS bpp,
        {full}, {rs}
 FROM p
 """
@@ -2302,6 +2306,120 @@ SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(bd AS INT) AS bpp, {full}, {rs}
 FROM p
 """
+
+
+def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode (operators/multimodal.decode_png:
+    seven independently filtered sub-images reassembled on the pass
+    grid — the progressive-render layout web image pipelines emit):
+    per document an INTERLACED truecolor PNG is synthesized with the
+    SAME pixel formula as ``multimodal_png`` (every 4th document RGBA),
+    per-pass row filters cycling through all five types with a
+    doc-dependent rotation. The fixture sizes (4–16 × 4–14) make most
+    documents hit EMPTY and single-pixel passes, the classic Adam7 edge
+    cases. The oracle is the sequential row's — decoded pixels are
+    layout-independent — so a pass-geometry, per-pass-stride,
+    prior-reset, or scatter bug breaks the hash. Reference decode
+    analog: reference/datasets/videoset.py:66-95 (cv2 handles Adam7
+    natively)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_png,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 4 + doc_id % 13, 4 + tlen % 11
+
+                def px(x, y, doc_id=doc_id):
+                    return (
+                        (doc_id * 7 + y * 31 + x * 13) % 256,
+                        (doc_id * 11 + y * 17 + x * 5) % 256,
+                        (doc_id * 3 + y * 7 + x * 19) % 256,
+                        (doc_id * 5 + y * 3 + x * 11) % 256,
+                    )
+
+                rot = doc_id % 5
+                cycle = tuple((rot + i) % 5 for i in range(5))
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_png(
+                        w, h, px,
+                        filter_cycle=cycle,
+                        rgba=(doc_id % 4 == 0),
+                        interlace=1,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
+
+
+def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit-channel PNG decode (operators/multimodal.decode_png:
+    big-endian sample pairs, filter reconstruction at the doubled byte
+    stride, standard most-significant-byte 16→8 reduction — the
+    photography/scanner format class): per document a 16-bit truecolor
+    PNG is synthesized whose HIGH bytes follow the shared pixel formula
+    and whose low bytes are deterministic junk a width- or endianness-
+    confused decoder would surface; every 4th document is RGBA and
+    every 3rd is ALSO Adam7-interlaced (16-bit × interlace cross
+    coverage). Oracle = the sequential row's sums with source bpp
+    48/64, so a stride, byte-order, reduction, or interlace bug breaks
+    the hash. Reference decode analog:
+    reference/datasets/videoset.py:66-95."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        image_meta,
+        synth_png,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("tlen")
+    )
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id, tlen in zip(pdf["doc_id"], pdf["tlen"]):
+                doc_id, tlen = int(doc_id), int(tlen)
+                w, h = 4 + doc_id % 13, 4 + tlen % 11
+
+                def px(x, y, doc_id=doc_id):
+                    return (
+                        (doc_id * 7 + y * 31 + x * 13) % 256,
+                        (doc_id * 11 + y * 17 + x * 5) % 256,
+                        (doc_id * 3 + y * 7 + x * 19) % 256,
+                        (doc_id * 5 + y * 3 + x * 11) % 256,
+                    )
+
+                rot = doc_id % 5
+                cycle = tuple((rot + i) % 5 for i in range(5))
+                out["doc_id"].append(doc_id)
+                out["image"].append(
+                    synth_png(
+                        w, h, px,
+                        filter_cycle=cycle,
+                        rgba=(doc_id % 4 == 0),
+                        bitdepth=16,
+                        interlace=1 if doc_id % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, schema="doc_id long, image binary")
+    return image_meta(img, media_col="image", id_col="doc_id", resize_to=(8, 6))
 
 
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5048,6 +5166,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
     "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
     "multimodal_png_palette": (q_multimodal_png_palette, _mm_png_palette_oracle()),
+    "multimodal_png_adam7": (q_multimodal_png_adam7, _mm_png_oracle()),
+    "multimodal_png16": (q_multimodal_png16, _mm_png_oracle(16)),
     "charset_detect": (q_charset_detect, ORACLE_CHARSET_DETECT),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),

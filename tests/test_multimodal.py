@@ -899,7 +899,9 @@ def test_png_trns_alpha_and_gray_alpha():
     assert (d4["pixels"][:, :, 3] == al).all()
 
 
-def test_png_still_rejects_interlace_and_16bit():
+def test_png_still_rejects_illegal_combos():
+    """Adam7 and 16-bit channels now decode (r6); what must still be
+    refused loudly are spec-illegal or unsupported combinations."""
     import struct
     import zlib
 
@@ -918,11 +920,94 @@ def test_png_still_rejects_interlace_and_16bit():
                 + chunk(b"IEND", b""))
 
     with pytest.raises(NotImplementedError):
-        decode_png(mk(8, 2, 1))  # Adam7
-    with pytest.raises(NotImplementedError):
-        decode_png(mk(16, 2, 0))  # 16-bit channels
-    with pytest.raises(NotImplementedError):
         decode_png(mk(4, 2, 0))  # sub-byte truecolor is not a legal combo
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(16, 3, 0))  # 16-bit palette is not a legal combo
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(8, 2, 2))  # unknown interlace method
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(3, 0, 0))  # bit depth 3 does not exist
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Every (size × rgba × bitdepth × interlace) truecolor combo and
+    every (size × depth × gray × interlace) indexed/gray combo is
+    pixel-exact through synth → decode — empty and 1-pixel Adam7
+    passes, doubled 16-bit filter strides, per-pass prior resets."""
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_png,
+        synth_png,
+        synth_png_indexed,
+    )
+
+    def px(x, y):
+        return ((7 + y * 31 + x * 13) % 256, (11 + y * 17 + x * 5) % 256,
+                (3 + y * 7 + x * 19) % 256, (5 + y * 3 + x * 11) % 256)
+
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (17, 6)]:
+        for rgba in (False, True):
+            for bd in (8, 16):
+                for il in (0, 1):
+                    d = decode_png(
+                        synth_png(w, h, px, rgba=rgba, bitdepth=bd, interlace=il)
+                    )
+                    ch = 4 if rgba else 3
+                    want = np.array(
+                        [[px(x, y)[:ch] for x in range(w)] for y in range(h)],
+                        dtype=np.uint8,
+                    )
+                    assert d["bpp"] == ch * bd
+                    assert (d["pixels"] == want).all(), (w, h, rgba, bd, il)
+        for bd in (1, 2, 4, 8):
+            y, x = np.mgrid[0:h, 0:w]
+            grid = (7 + y * 31 + x * 13) % (1 << bd)
+            pal = [((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+                   for i in range(1 << bd)]
+            for gray in (False, True):
+                d = decode_png(synth_png_indexed(
+                    grid, pal, bitdepth=bd, gray=gray,
+                    filter_cycle=(0, 1, 2, 3, 4), interlace=1))
+                if gray:
+                    g = (grid * 255 // ((1 << bd) - 1)).astype(np.uint8)
+                    want = np.repeat(g[:, :, None], 3, axis=2)
+                else:
+                    want = np.array(pal, dtype=np.uint8)[grid]
+                assert (d["pixels"] == want).all(), (w, h, bd, gray)
+
+
+def test_png_16bit_grayscale_direct():
+    """16-bit grayscale (color type 0) built by hand: big-endian sample
+    pairs whose low byte is junk; the decoder must keep the high byte
+    and replicate to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import decode_png
+
+    w, h = 5, 4
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 12
+    rows = bytearray()
+    for y in range(h):
+        rows += b"\x00"  # filter None
+        for x in range(w):
+            rows += bytes([int(gray[y, x]), (int(gray[y, x]) * 167 + 89) % 256])
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(rows)))
+           + chunk(b"IEND", b""))
+    d = decode_png(png)
+    assert d["bpp"] == 16 and d["width"] == w and d["height"] == h
+    for c in range(3):
+        assert (d["pixels"][:, :, c] == gray).all()
 
 
 def test_jpeg_16bit_quant_tables_parity():
