@@ -3558,6 +3558,44 @@ GROUP BY tr.doc_id
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (the AI2 BFF /
+    Dolma production pattern): identical semantics to ``decontaminate``
+    — flag every TRAIN document sharing a hashed word-trigram with any
+    TEST document — but the train side is screened map-side against a
+    broadcast Bloom bitset built over the test shingle set BEFORE any
+    join (operators/bloom.py). At 100 TB this is the difference between
+    shuffling 10^12 corpus shingles and shuffling only the ~per-mille
+    that might collide: the bitset for a 10^7-shingle benchmark is
+    ~19 MiB shipped once per executor. The exact confirm join after the
+    prefilter kills Bloom false positives, so the row shares
+    ORACLE_DECONTAMINATE verbatim — a probe-scheme, bitset, broadcast,
+    or fallback bug breaks the hash. The build side is materialized
+    under a hard row cap (bounded driver memory, plain-join fallback
+    above it — the knn_bruteforce_blocked guard discipline)."""
+    from slowfast_feature_extractor_spark.operators.bloom import bloom_prefilter
+
+    d = _docs(spark, sf_dir)
+    bucket = (
+        DD.md5i64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    hashed = F.array_distinct(
+        F.transform(TS.shingles(F.col("text"), 3), DD.md5i64)
+    )
+    sh = d.select(
+        F.col("doc_id").alias("id"), bucket.alias("bk"), F.explode(hashed).alias("shingle")
+    )
+    train = sh.filter(F.col("bk") < 90).select("id", "shingle")
+    test = sh.filter(F.col("bk") >= 95).select("shingle").distinct()
+    survivors = bloom_prefilter(train, "shingle", test)
+    return (
+        survivors.join(test, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+1-555-[0-9]{4}"
 _PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
@@ -5169,6 +5207,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_png_adam7": (q_multimodal_png_adam7, _mm_png_oracle()),
     "multimodal_png16": (q_multimodal_png16, _mm_png_oracle(16)),
     "charset_detect": (q_charset_detect, ORACLE_CHARSET_DETECT),
+    "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
