@@ -3660,6 +3660,70 @@ FROM t
 """
 
 
+# Decomposed / compatibility-singleton / jamo snippets — every NFC
+# transformation class: combining-mark composition, canonical
+# reordering of multiple marks, singleton replacement (U+212B→U+00C5,
+# U+2126→U+03A9), and Hangul jamo→syllable composition. Shared verbatim
+# by the Spark injection and the DuckDB oracle.
+_NFC_SNIPPETS = [
+    "café",
+    "Ångström",
+    "mañana",
+    "Å Ω",
+    "ṩ order",
+    "각 jamo",
+]
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical-form pass every exact
+    downstream operator (hash dedup, shingle decontamination,
+    fingerprinting) depends on, since raw crawl text mixes precomposed
+    and decomposed sequences at the source's whim. Deterministic
+    decomposed snippets covering all four NFC transformation classes
+    are appended per document JVM-side, normalized by the Arrow-batched
+    stdlib UDF (functions/unicode.py — map-only, zero shuffle, linear
+    at any corpus size), and hashed; `changed` compares raw vs
+    normalized JVM-side. The DuckDB oracle replays utf8proc's
+    ``nfc_normalize`` over the identical injected text, so a
+    composition-table, reordering, or singleton divergence breaks the
+    hash. Reference analog: text keys are consumed verbatim in
+    reference/datasets/videoset.py — normalization is the corpus-scale
+    prerequisite the single-node tool never needed."""
+    from slowfast_feature_extractor_spark.functions.unicode import nfc_normalize
+
+    d = _docs(spark, sf_dir)
+    snippet = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SNIPPETS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    t = d.select("doc_id", F.concat("text", F.lit(" "), snippet).alias("t"))
+    n = t.withColumn("nfc", nfc_normalize(F.col("t")))
+    return n.select(
+        "doc_id",
+        F.length("t").cast("int").alias("n_chars_raw"),
+        F.length("nfc").cast("int").alias("n_chars_nfc"),
+        (F.col("t") != F.col("nfc")).alias("changed"),
+        F.md5("nfc").alias("nfc_md5"),
+    )
+
+
+_NFC_SQL_LIST = ", ".join("'" + s + "'" for s in _NFC_SNIPPETS)
+
+ORACLE_NORMALIZE_TEXT = f"""
+WITH t AS (
+  SELECT doc_id, text || ' ' || ([{_NFC_SQL_LIST}])[CAST(doc_id % 6 + 1 AS INT)] AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS INT) AS n_chars_raw,
+       CAST(length(nfc_normalize(t)) AS INT) AS n_chars_nfc,
+       t <> nfc_normalize(t) AS changed,
+       md5(nfc_normalize(t)) AS nfc_md5
+FROM t
+"""
+
+
 def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: build a unigram LM from the
     corpus itself (word → count, one shuffle with map-side partials),
@@ -5208,6 +5272,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_png16": (q_multimodal_png16, _mm_png_oracle(16)),
     "charset_detect": (q_charset_detect, ORACLE_CHARSET_DETECT),
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE),
+    "normalize_text": (q_normalize_text, ORACLE_NORMALIZE_TEXT),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

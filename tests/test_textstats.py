@@ -53,3 +53,36 @@ def test_shingles_and_fingerprint(docs):
     assert _one(docs, TS.min_shingle_hash(F.col("text")), 3) is None
     fp5 = _one(docs, TS.fingerprint(F.col("text")), 5)
     assert len(fp5) == 32  # md5 hex of normalized text
+
+
+def test_nfc_normalize_parity_with_duckdb(spark):
+    """Spark UDF (unicodedata) vs DuckDB (utf8proc) NFC byte parity on
+    every transformation class: combining marks, multi-mark canonical
+    reordering, compatibility singletons, Hangul jamo, and identity."""
+    import duckdb
+    import unicodedata
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions.unicode import nfc_normalize
+    from slowfast_feature_extractor_spark.plans.queries import _NFC_SNIPPETS
+
+    cases = list(_NFC_SNIPPETS) + ["plain ascii", "composed é Å", ""]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, t string")
+    got = {r.i: r.n for r in df.select("i", nfc_normalize(F.col("t")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        duck = con.execute("select nfc_normalize(?)", [c]).fetchone()[0]
+        assert got[i] == duck == unicodedata.normalize("NFC", c), repr(c)
+        # the decomposed snippets must actually change under NFC
+        if i < len(_NFC_SNIPPETS):
+            assert got[i] != c, repr(c)
+
+
+def test_nfc_normalize_null_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions.unicode import nfc_normalize
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "i int, t string")
+    rows = {r.i: r.n for r in df.select("i", nfc_normalize(F.col("t")).alias("n")).collect()}
+    assert rows[1] is None and rows[2] == "x"
