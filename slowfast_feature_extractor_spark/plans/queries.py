@@ -5016,6 +5016,75 @@ FROM base
 """
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol XML round-trip — the crawl-discovery source
+    every frontier seeds from: per host a ``<urlset>`` document is
+    serialized (entries in doc order via sorted ordered-concat, ``&``
+    entity-escaped per the XML spec), then parsed BACK with Spark's
+    built-in ``from_xml`` (JVM StaxXmlParser — no Python in the parse
+    path) into typed (url, lastmod, priority DOUBLE) rows. The DuckDB
+    oracle recomputes the logical rows directly from the table, so a
+    serializer-escaping, schema-mapping, array-explode, or numeric-
+    coercion bug in the XML path breaks the hash; every 5th url carries
+    a query string with a raw ``&`` to force real entity handling. One
+    shuffle (the per-host assembly); parse+explode are map-only — at
+    100 TB sitemaps are per-host documents, so the group cardinality is
+    the host count, not the page count. Reference analog: dataset
+    manifest ingestion (reference/datasets/videoset.py:23-40), with XML
+    instead of csv."""
+    d = _docs(spark, sf_dir)
+    host = (F.col("doc_id") % 97).cast("int")
+    qs = F.when(F.col("doc_id") % 5 == 0, F.lit("?a=1&b=2")).otherwise(F.lit(""))
+    loc = F.concat(
+        F.lit("https://h"), host.cast("string"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"), qs,
+    )
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("2026-01-01")), (F.col("doc_id") % 365).cast("int")),
+        "yyyy-MM-dd",
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.regexp_replace(loc, "&", "&amp;"),
+        F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod><priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    base = d.select(host.alias("host"), F.struct("doc_id", entry.alias("e")).alias("s"))
+    sitemaps = base.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s.e), ""
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = sitemaps.select(
+        "host",
+        F.from_xml(
+            "xml", "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, priority: DOUBLE>>"
+        ).alias("p"),
+    )
+    return parsed.select("host", F.explode("p.url").alias("u")).select(
+        "host",
+        F.col("u.loc").alias("url"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.priority").alias("priority"),
+    )
+
+
+ORACLE_SITEMAP_PARSE = """
+SELECT CAST(doc_id % 97 AS INT) AS host,
+       'https://h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+       strftime(DATE '2026-01-01' + CAST(doc_id % 365 AS INT), '%Y-%m-%d') AS lastmod,
+       CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+FROM documents
+"""
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl scheduling: within each host, order the
     frontier deterministically and assign fetch slots of 5 urls with a
@@ -5273,6 +5342,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "charset_detect": (q_charset_detect, ORACLE_CHARSET_DETECT),
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE),
     "normalize_text": (q_normalize_text, ORACLE_NORMALIZE_TEXT),
+    "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
