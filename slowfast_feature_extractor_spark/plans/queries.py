@@ -4836,6 +4836,30 @@ FROM documents
 """
 
 
+def q_warc_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.gz`` round-trip — the format Common Crawl actually
+    ships: every record compressed as an INDEPENDENT gzip member,
+    members concatenated per shard (sources/warc.py build_shards_gz),
+    then parsed back by inflating one member at a time from
+    ``unused_data`` (never a whole-blob decompress — peak memory is one
+    record at any shard size). Member-per-record is what keeps a
+    compressed 100-TB crawl randomly addressable: a CDX offset + ranged
+    read + one-member inflate yields one record. Shares
+    ORACLE_WARC_PARSE verbatim — the compression transport must not
+    change a parsed byte, so a member-boundary, wbits, or framing bug
+    breaks the hash. Reference analog: compressed-container decode,
+    reference/datasets/videoset.py:66-103."""
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    d = _docs(spark, sf_dir)
+    url = _synth_url()
+    rec = W.warc_record(url, F.col("text"))
+    shards = W.build_shards_gz(
+        d, shard=F.expr("doc_id div 50"), order=F.col("doc_id"), record=rec
+    )
+    return W.parse_shards_gz(shards)
+
+
 def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION WARC read path: shard blobs land as real FILES on
     disk and are scanned with Spark's ``binaryFile`` source — one file
@@ -5343,6 +5367,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE),
     "normalize_text": (q_normalize_text, ORACLE_NORMALIZE_TEXT),
     "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
+    "warc_gzip": (q_warc_gzip, ORACLE_WARC_PARSE),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

@@ -104,3 +104,92 @@ def parse_shards(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(
         _batches, schema="shard long, url string, n_bytes long, payload_md5 string"
     )
+
+
+def build_shards_gz(
+    df: DataFrame, shard: Column, order: Column, record: Column
+) -> DataFrame:
+    """Pack records into ``.warc.gz``-framed shard blobs: ONE GZIP
+    MEMBER PER RECORD, members concatenated — the actual Common Crawl
+    convention, and the property that keeps a compressed corpus
+    randomly addressable (a CDX offset points at a member boundary; a
+    ranged read + one member inflate yields one record, never a
+    whole-file decompress). Compression is deterministic: zlib with a
+    gzip wrapper (wbits=31) writes MTIME=0 and no filename, fixed
+    level, so blobs are byte-stable across runs. One
+    ``applyInPandas`` per shard group (sort by ``order``, compress,
+    join) — the same single partial-agg shuffle as the plain builder;
+    compression cost is paid once at build and amortized over every
+    later scan."""
+    packed = df.select(
+        shard.alias("shard"), order.alias("o"), record.cast("binary").alias("r")
+    )
+
+    def _pack(pdf):  # type: ignore[no-untyped-def]
+        import zlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("o")
+        members = []
+        for b in pdf["r"]:
+            co = zlib.compressobj(level=6, wbits=31)
+            members.append(co.compress(bytes(b)) + co.flush())
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "blob": [b"".join(members)]}
+        )
+
+    return packed.groupBy("shard").applyInPandas(_pack, schema="shard long, blob binary")
+
+
+def parse_shards_gz(shards: DataFrame) -> DataFrame:
+    """Walk a concatenated-gzip-member shard: inflate one member at a
+    time with ``decompressobj(wbits=31)`` and continue from
+    ``unused_data`` — NEVER a whole-blob decompress, so peak memory is
+    one record regardless of shard size. Each member must contain
+    exactly one complete Content-Length-framed record (the build-side
+    invariant CDX offsets rely on); a member holding a short read, a
+    bad magic, or trailing garbage raises instead of resynchronizing.
+    Same output schema as :func:`parse_shards` — the compression
+    transport must not change a single parsed byte."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import hashlib
+        import zlib
+
+        import pandas as pd
+
+        sep = (CRLF + CRLF).encode()
+        for pdf in it:
+            out = {"shard": [], "url": [], "n_bytes": [], "payload_md5": []}
+            for shard, blob in zip(pdf["shard"], pdf["blob"]):
+                buf = bytes(blob)
+                while buf:
+                    do = zlib.decompressobj(wbits=31)
+                    rec = do.decompress(buf)
+                    if not do.eof:
+                        raise ValueError(f"shard {shard}: truncated gzip member")
+                    if not rec.startswith(b"WARC/1.0"):
+                        raise ValueError(f"shard {shard}: bad record magic in member")
+                    hdr_end = rec.index(sep)
+                    headers = {}
+                    for line in rec[:hdr_end].decode("utf-8").split(CRLF)[1:]:
+                        k, _, v = line.partition(": ")
+                        headers[k] = v
+                    n = int(headers["Content-Length"])
+                    body_start = hdr_end + len(sep)
+                    payload = rec[body_start : body_start + n]
+                    if len(payload) != n or rec[body_start + n :] != sep:
+                        raise ValueError(
+                            f"shard {shard}: member/record framing mismatch"
+                        )
+                    out["shard"].append(int(shard))
+                    out["url"].append(headers["WARC-Target-URI"])
+                    out["n_bytes"].append(n)
+                    out["payload_md5"].append(hashlib.md5(payload).hexdigest())
+                    buf = do.unused_data
+            yield pd.DataFrame(out)
+
+    return shards.mapInPandas(
+        _batches, schema="shard long, url string, n_bytes long, payload_md5 string"
+    )

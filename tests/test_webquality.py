@@ -469,3 +469,81 @@ def test_burst_detect_vs_pandas_reference(spark):
             int(row["cnt"]) * int(nd) > 2 * int(tot),
         )
         assert got[(row["user_id"], row["day"])] == want
+
+
+def test_warc_gz_roundtrip_and_member_addressability(spark):
+    """gzip-member shards must (a) round-trip hostile/multi-byte
+    payloads byte-exactly, (b) be built of INDEPENDENT members — the
+    i-th member inflates alone, the property CDX ranged reads rely on,
+    and (c) build deterministically (byte-stable blobs, MTIME=0)."""
+    import hashlib
+    import zlib
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    rows = [
+        (0, "plain ascii payload"),
+        (1, "WARC/1.0\r\n\r\nContent-Length: 999\r\n\r\nfake"),
+        (2, "café — ümläüts 中文"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = W.warc_record(
+        F.concat(F.lit("https://x/p/"), F.col("doc_id").cast("string")),
+        F.col("text"),
+    )
+
+    def build():
+        return W.build_shards_gz(
+            df, shard=F.lit(0).cast("long"), order=F.col("doc_id"), record=rec
+        ).collect()[0]["blob"]
+
+    blob = bytes(build())
+    assert bytes(build()) == blob  # deterministic compression
+
+    got = {
+        r["url"]: r
+        for r in W.parse_shards_gz(
+            spark.createDataFrame([(0, blob)], "shard long, blob binary")
+        ).collect()
+    }
+    assert len(got) == 4
+    for doc_id, text in rows:
+        r = got[f"https://x/p/{doc_id}"]
+        assert r["n_bytes"] == len(text.encode("utf-8"))
+        assert r["payload_md5"] == hashlib.md5(text.encode("utf-8")).hexdigest()
+
+    # split the blob at member boundaries and inflate the 3rd member alone
+    bounds, pos = [0], 0
+    while pos < len(blob):
+        do = zlib.decompressobj(wbits=31)
+        do.decompress(blob[pos:])
+        pos = len(blob) - len(do.unused_data)
+        bounds.append(pos)
+    assert len(bounds) == 5  # 4 members
+    third = blob[bounds[2] : bounds[3]]
+    rec3 = zlib.decompress(third, wbits=31)
+    assert rec3.startswith(b"WARC/1.0") and "中文".encode() in rec3
+
+
+def test_warc_gz_rejects_bad_framing(spark):
+    """Truncated members and non-record members must raise, not resync."""
+    import zlib
+
+    import pytest as _pytest
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    def gz(b):
+        co = zlib.compressobj(level=6, wbits=31)
+        return co.compress(b) + co.flush()
+
+    ok = gz(b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    for bad_blob in [
+        ok[:-3],                     # truncated final member
+        gz(b"NOT-A-RECORD"),         # bad magic
+        gz(b"WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 9\r\n\r\nhi\r\n\r\n"),
+    ]:
+        df = spark.createDataFrame([(0, bytes(bad_blob))], "shard long, blob binary")
+        with _pytest.raises(Exception):
+            W.parse_shards_gz(df).collect()
