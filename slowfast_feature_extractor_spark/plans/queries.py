@@ -3724,6 +3724,41 @@ FROM t
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters — the tokens covering > φ of all token
+    occurrences (stopword discovery, vocabulary head truncation, hot-
+    URL detection are all this query): Misra-Gries-shaped batch
+    summaries prune the Zipf tail map-side, then ONLY the provably-
+    complete candidate set is re-counted exactly (operators/sketch.py)
+    — shuffle volume ∝ candidates, not the billion-key distinct
+    domain, with output bit-identical to the naive groupBy the DuckDB
+    oracle runs. Tokenization shares lm_unigram_score's convention
+    (space split, empties dropped). Reference analog: the class-count
+    aggregate (reference/just_test_v1.py accuracy tallies), at an
+    unbounded key domain."""
+    from slowfast_feature_extractor_spark.operators.sketch import heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", phi=0.004).select(
+        F.col("k").alias("token"), "cnt"
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), m AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
+)
+SELECT token, cnt FROM m
+WHERE cnt > 0.004 * (SELECT count(*) FROM t)
+"""
+
+
 def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: build a unigram LM from the
     corpus itself (word → count, one shuffle with map-side partials),
@@ -5368,6 +5403,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "normalize_text": (q_normalize_text, ORACLE_NORMALIZE_TEXT),
     "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
     "warc_gzip": (q_warc_gzip, ORACLE_WARC_PARSE),
+    "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

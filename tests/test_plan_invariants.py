@@ -48,6 +48,7 @@ _SCALAR_BROADCAST_OK = {
     "dsir_score",         # 1-row corpus feature totals
     "pagerank2",          # node count n (1 row)
     "dedup_semantic",     # k=8 seed-centroid table fanned into every row
+    "heavy_hitters",      # 1-row exact token total vs candidate counts
 }
 
 # SinglePartition exchanges allowed: reductions whose input is already
@@ -58,6 +59,7 @@ _SINGLE_PARTITION_OK = {
     "lm_unigram_score",   # 1-row corpus total
     "dsir_score",         # 1-row feature totals
     "pagerank2",          # 1-row node count
+    "heavy_hitters",      # 1-row exact token total
 }
 
 _PLAN_NAMES = sorted(set(REGISTRY) - _EXECUTES_IN_BUILDER)
