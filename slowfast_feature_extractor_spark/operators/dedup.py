@@ -68,6 +68,30 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def winnow_fingerprints(hashes: Column, w: int = 8) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken, MOSS) over an
+    ``array<long>`` of k-gram hashes: the distinct set of per-window
+    minima for every window of ``w`` consecutive k-gram hashes.
+
+    Guarantee: two documents sharing any substring of ≥ w+k-1 tokens
+    share at least one fingerprint — AT ANY ALIGNMENT. That is the
+    property fixed-stride passage hashing (``dedup_passages``) lacks
+    (a one-token prefix shift breaks every passage boundary) and full
+    shingle comparison (``decontaminate``) pays |shingles| rows for;
+    winnowing emits ~2/(w+1) of the shingle count with a detection
+    floor instead of a heuristic. Pure JVM array expressions (O(n·w)
+    per doc, map-only); documents shorter than one window fall back to
+    a single whole-array window. Nulls (empty docs) must be filtered
+    by the caller after explode."""
+    n_win = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        )
+    )
+
+
 def dedup_passages(
     df: DataFrame,
     id_col: str = "doc_id",

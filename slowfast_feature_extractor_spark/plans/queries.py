@@ -3558,6 +3558,89 @@ GROUP BY tr.doc_id
 """
 
 
+_WINNOW_BOILER = (
+    "the quick brown fox jumps over the lazy dog near the riverbank today"
+)
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-robust duplicated-span detection via winnowing
+    (Schleimer et al., the MOSS fingerprint scheme;
+    operators/dedup.winnow_fingerprints): token-4-gram hashes →
+    per-window-of-8 minima → distinct fingerprints, so any two
+    documents sharing a span of ≥ 11 tokens AT ANY ALIGNMENT share a
+    fingerprint — the guarantee fixed-stride passage hashing loses the
+    moment a shared footer shifts by one token. A 13-token boilerplate
+    is planted on every 7th document (APPENDED, but PREPENDED on every
+    14th — the alignment case that defeats stride schemes) and the
+    query reports, per document, how many of its distinct fingerprints
+    occur in ≥2 documents. All JVM array expressions until one
+    explode + two bounded aggregations; fingerprint volume is
+    ~2/(w+1) of the shingle count, so the shuffle is ~4× lighter than
+    full-shingle decontamination at the same detection floor.
+    Reference analog: reference/extract_feature.py's per-clip identity
+    keys, generalized to content fingerprints."""
+    d = _docs(spark, sf_dir)
+    inj = (
+        F.when(
+            F.col("doc_id") % 14 == 0,
+            F.concat(F.lit(_WINNOW_BOILER + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_BOILER)),
+        )
+        .otherwise(F.col("text"))
+    )
+    hashes = F.transform(TS.shingles(inj, 4), DD.md5i64)
+    fps = DD.winnow_fingerprints(hashes, w=8)
+    ex = (
+        d.select(F.col("doc_id"), F.explode(fps).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    hot = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    return (
+        ex.join(hot, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+
+
+ORACLE_DEDUP_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 14 = 0 THEN '{_WINNOW_BOILER} ' || text
+              WHEN doc_id % 7 = 0 THEN text || ' {_WINNOW_BOILER}'
+              ELSE text END AS txt
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 1)),
+             i -> {_md5i64_sql(
+                 "concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3])"
+             )}) AS hs
+  FROM (SELECT doc_id, list_filter(string_split(txt, ' '), x -> x <> '') AS toks
+        FROM t)
+), fp AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+               i -> list_min(hs[i:i+7])),
+           x -> x IS NOT NULL))) AS fp
+  FROM h
+), hot AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM fp JOIN hot USING (fp)
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered benchmark decontamination (the AI2 BFF /
     Dolma production pattern): identical semantics to ``decontaminate``
@@ -5404,6 +5487,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sitemap_parse": (q_sitemap_parse, ORACLE_SITEMAP_PARSE),
     "warc_gzip": (q_warc_gzip, ORACLE_WARC_PARSE),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "dedup_winnow": (q_dedup_winnow, ORACLE_DEDUP_WINNOW),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

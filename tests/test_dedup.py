@@ -354,3 +354,55 @@ def test_dedup_clusters_star_keeps_self_pair_singletons(spark):
     plain = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
     star = sorted(tuple(r) for r in dedup_clusters_star(pairs).collect())
     assert plain == star == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)]
+
+
+def test_winnow_guarantee_any_alignment(spark):
+    """Any two docs sharing >= w+k-1 (=11) tokens must share a
+    fingerprint REGARDLESS of where the span sits — the winnowing
+    floor fixed-stride passage hashing lacks. Below-floor overlap may
+    or may not collide; disjoint docs must not."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions import textstats as TS
+    from slowfast_feature_extractor_spark.operators import dedup as DD
+
+    span = " ".join(f"s{i}" for i in range(11))
+    docs = [
+        (0, "a0 a1 a2 " + span),                      # span at tail
+        (1, span + " b0 b1 b2 b3 b4"),                # span at head
+        (2, "c0 " + span + " c1 c2"),                 # span mid, odd shift
+        (3, " ".join(f"d{i}" for i in range(30))),    # disjoint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hashes = F.transform(TS.shingles(F.col("text"), 4), DD.md5i64)
+    fps = {
+        r.doc_id: set(r.f)
+        for r in df.select(
+            "doc_id", DD.winnow_fingerprints(hashes, w=8).alias("f")
+        ).collect()
+    }
+    assert fps[0] & fps[1] and fps[0] & fps[2] and fps[1] & fps[2]
+    for i in (0, 1, 2):
+        assert not (fps[i] & fps[3])
+
+
+def test_winnow_short_and_empty_docs(spark):
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.functions import textstats as TS
+    from slowfast_feature_extractor_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one two three"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    hashes = F.transform(TS.shingles(F.col("text"), 4), DD.md5i64)
+    rows = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", DD.winnow_fingerprints(hashes, w=8).alias("f")
+        ).collect()
+    }
+    assert rows[0] == [None]          # empty doc -> caller filters nulls
+    assert rows[1] == [None]          # < k tokens: no shingles
+    assert len(rows[2]) == 1 and rows[2][0] is not None  # 2 shingles, 1 window
