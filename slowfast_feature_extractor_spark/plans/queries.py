@@ -3558,6 +3558,145 @@ GROUP BY tr.doc_id
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 rules, the
+    complement of doc-level ``gopher_filter``): documents are rendered
+    into lines (deterministic newline every 5 words — both engines run
+    the identical regex), then each line is kept only if it ends in
+    terminal punctuation, has ≥4 words, and contains no brace /
+     'lorem ipsum' / 'javascript' marker; a document survives with ≥3
+    kept lines. Entirely JVM higher-order array expressions (split →
+    filter → aggregate), zero Python, zero shuffle — the cheap
+    map-only pass that runs before anything shuffle-bearing at 100 TB.
+    Emits per-doc line accounting + md5 of the cleaned text so the
+    oracle catches any rule-boundary divergence."""
+    d = _docs(spark, sf_dir)
+    raw = F.split(
+        F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n"), "\n"
+    )
+    sfx = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
+    # deterministic per-line endings cycling through every rule class
+    # (terminal punct / none / brace / lorem / javascript) — the corpus
+    # text itself is punctuation-free, so the rules must be planted
+    lines = F.transform(
+        raw, lambda ln, i: F.concat(ln, F.element_at(sfx, (i % 8) + 1))
+    )
+    words = lambda ln: F.size(F.filter(F.split(ln, " "), lambda w: w != ""))  # noqa: E731
+    keep = F.filter(
+        lines,
+        lambda ln: (
+            ln.rlike("[.!?\"']$")
+            & (words(ln) >= 4)
+            & ~F.contains(ln, F.lit("{"))
+            & ~F.contains(F.lower(ln), F.lit("lorem ipsum"))
+            & ~F.contains(F.lower(ln), F.lit("javascript"))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(keep).cast("int").alias("n_kept"),
+        (F.size(keep) >= 3).alias("doc_kept"),
+        F.md5(F.array_join(keep, "\n")).alias("cleaned_md5"),
+    )
+
+
+# one suffix per rule class; Spark indexes the cycle 0-based, DuckDB
+# 1-based — both resolve to the same suffix per line position
+_C4_SUFFIXES = [
+    ".",                   # kept (if >=4 words)
+    "",                    # dropped: no terminal punctuation
+    " {config}.",          # dropped: brace
+    "!",                   # kept
+    " Lorem Ipsum filler.",  # dropped: lorem ipsum
+    "?",                   # kept
+    " enable JavaScript.",   # dropped: javascript
+    ' quoted."',           # kept
+]
+
+_C4_SFX_SQL = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in _C4_SUFFIXES) + "]"
+
+ORACLE_C4_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+             string_split(regexp_replace(text, '((?:\S+ ){{4}}\S+) ',
+                                         '\1' || chr(10), 'g'), chr(10)),
+             (ln, i) -> ln || ({_C4_SFX_SQL})[(i - 1) % 8 + 1]) AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, ln ->
+             regexp_matches(ln, '[.!?"'']$')
+             AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 4
+             AND NOT contains(ln, '{{')
+             AND NOT contains(lower(ln), 'lorem ipsum')
+             AND NOT contains(lower(ln), 'javascript')) AS keep
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_kept,
+       len(keep) >= 3 AS doc_kept,
+       md5(coalesce(list_aggregate(keep, 'string_agg', chr(10)), '')) AS cleaned_md5
+FROM k
+"""
+
+
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting — the number every corpus decision
+    (mixing weights, dedup thresholds, epoch sizing) is denominated
+    in: whitespace tokens AND a GPT-2-shaped byte-level pre-tokenizer
+    regex (contractions, letter runs, digit runs, punctuation runs,
+    whitespace runs — the lookahead-free subset both Java regex and
+    RE2 implement identically) counted per document, plus bytes per
+    BPE token (the compression-ratio quality signal). Map-only JVM
+    ``regexp_count``, whole-stage codegen, zero shuffle. Reference
+    analog: frame-count accounting before sampling
+    (reference/datasets/videoset.py num_frames)."""
+    d = _docs(spark, sf_dir)
+    # the fixture corpus is punctuation-free — plant contractions,
+    # digit runs, and punctuation so the two tokenizers actually
+    # diverge (same literal in the oracle)
+    t = F.concat(F.col("text"), F.lit(_BPE_TAIL), F.col("doc_id").cast("string"))
+    n_ws = F.size(F.filter(F.split(t, " "), lambda w: w != ""))
+    n_bpe = F.regexp_count(t, F.lit(_BPE_RE))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.when(
+            n_bpe > 0, F.octet_length(t).cast("double") / n_bpe
+        ).otherwise(F.lit(0.0)).alias("bytes_per_token"),
+    )
+
+
+_BPE_TAIL = " it's v2.0 (beta), we're 100% ready -- don't wait... #"
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+_BPE_TAIL_SQL = _BPE_TAIL.replace("'", "''")
+
+ORACLE_TOKEN_COUNT = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || '{_BPE_TAIL_SQL}' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(t, ' '), w -> w <> '')) AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(t, '{_BPE_RE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(t, '{_BPE_RE_SQL}')) > 0
+            THEN CAST(octet_length(encode(t)) AS DOUBLE)
+                 / len(regexp_extract_all(t, '{_BPE_RE_SQL}'))
+            ELSE 0.0 END AS bytes_per_token
+FROM t
+"""
+
+
 _WINNOW_BOILER = (
     "the quick brown fox jumps over the lazy dog near the riverbank today"
 )
@@ -5488,6 +5627,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warc_gzip": (q_warc_gzip, ORACLE_WARC_PARSE),
     "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "dedup_winnow": (q_dedup_winnow, ORACLE_DEDUP_WINNOW),
+    "c4_filter": (q_c4_filter, ORACLE_C4_FILTER),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
