@@ -119,6 +119,7 @@ BENCH_NOT_TIMED = {
     "dedup_streamed",
     "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_canonical",  # wraps dedup_clusters_star's convergence loop
     "pagerank2",
 }
 

@@ -673,3 +673,144 @@ def semantic_dedup(
             F.coalesce(~F.col("__rm"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze, Schmid 2011 — the
+    FAISS PQ memory path): the vector splits into ``m_sub`` subspaces,
+    each quantized against its own ``n_codes``-entry codebook, so a
+    d-dim float vector compresses to ``m_sub`` small ints (64 floats ->
+    8 bytes here) and query scoring never touches the original vectors
+    — asymmetric distance (ADC) sums per-subspace lookup-table entries.
+
+    Codebooks are DETERMINISTIC one-pass seeds (the ``n_codes``
+    lowest-id corpus vectors, sliced per subspace — the knn_ivf
+    ``quantizer="seed"`` pattern) so a SQL oracle replays encode +
+    scoring exactly; production swaps in per-subspace k-means without
+    changing any plan shape.
+
+    Scale shape: encode is one Arrow-batched GEMM pass (the only
+    Python); the codes table is the ONLY thing scoring reads — at
+    100 TB the float vectors stay cold on disk. Scoring is fully
+    relational ADC: the per-query lookup table (Q x m_sub x n_codes
+    rows — broadcast-sized by construction) equi-joins the exploded
+    codes on (subspace, code) and a groupBy(query, vec) sums the
+    rounded subspace distances; per-query top-k is the
+    WindowGroupLimit rank. Full-corpus ADC is O(N x Q) rows grouped —
+    the production composition restricts candidates to IVF cells first
+    (``knn_ivf``'s cell equi-join feeds this scorer unchanged).
+    Distances are rounded to 6 dp before ranking (the knn_ivf
+    cross-engine float discipline). Output (query_id, neighbor_id,
+    rank, adist) — approximate squared-L2, ascending.
+    """
+    import numpy as np
+
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if not dim_row or not dim_row["d"]:
+        raise ValueError("empty corpus")
+    dim = int(dim_row["d"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    train = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    books = train.reshape(n_codes, m_sub, sub).transpose(1, 0, 2)  # (M,K,sub)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        bk = bc.value
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        v = np.stack(vs.map(lambda x: np.asarray(x, dtype=np.float64)))
+        v = v.reshape(len(v), m_sub, sub)
+        codes = np.empty((len(v), m_sub), dtype="int32")
+        for m in range(m_sub):
+            d2 = ((v[:, m, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            # round-then-stable-argsort = the oracle's round + argmin
+            # with lowest-code tie-break
+            codes[:, m] = np.argsort(np.round(d2, 6), axis=1, kind="stable")[
+                :, 0
+            ]
+        return pd.Series([r.tolist() for r in codes])
+
+    codes = corpus.select(
+        id_col, F.posexplode(encode(F.col(vec_col))).alias("m", "code")
+    )
+    cb = spark.createDataFrame(
+        [
+            (m, c, books[m][c].tolist())
+            for m in range(m_sub)
+            for c in range(n_codes)
+        ],
+        "m int, code int, cent array<double>",
+    )
+    qsub = queries.select(
+        query_id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col(query_vec_col).cast("array<double>"),
+                        m * sub + 1,
+                        sub,
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("m", "qv"),
+    )
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        query_id_col,
+        "m",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("cent"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2r"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d2r"), 6).alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "adist",
+        )
+    )

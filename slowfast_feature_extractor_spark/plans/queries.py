@@ -1500,6 +1500,59 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 """
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.knn_ivfpq):
+    64-dim vectors -> 8 subspace codes against deterministic seed
+    codebooks; scoring is fully relational ADC (broadcast per-query
+    lookup table joined to the exploded codes, groupBy sum, top-5
+    rank) — the FAISS memory path where queries never touch the raw
+    corpus vectors. Seed codebooks + round-6 distances make the whole
+    thing SQL-replayable; a recall pytest covers approximation
+    quality on a clustered fixture."""
+    return SIM.knn_ivfpq(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
+        k=5, m_sub=8, n_codes=16,
+    )
+
+
+def _knn_ivfpq_oracle(m_sub: int = 8, n_codes: int = 16, sub: int = 8) -> str:
+    sl_e = f"e.v[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    sl_s = f"s.v[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    sl_q = f"q.qv[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    return f"""
+WITH e AS ({_EMB_DOUBLE}),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, t.m, s.code,
+           row_number() OVER (PARTITION BY e.vec_id, t.m
+                              ORDER BY round(list_distance({sl_e}, {sl_s}) ** 2, 6) ASC,
+                                       s.code ASC) AS rn
+    FROM e CROSS JOIN range(0, {m_sub}) t(m) CROSS JOIN seeds s) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+lut AS (
+  SELECT q.query_id, t.m, s.code,
+         round(list_distance({sl_q}, {sl_s}) ** 2, 6) AS d2r
+  FROM q CROSS JOIN range(0, {m_sub}) t(m) CROSS JOIN seeds s
+),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, round(sum(l.d2r), 6) AS adist
+  FROM assign a JOIN lut l ON l.m = a.m AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM r WHERE rank <= 5
+"""
+
+
 def q_content_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/P10/J3: bbox-crop analog — a deliberately-incomplete side
     table of byte ranges left-joined on the page key selects the content
@@ -3697,6 +3750,684 @@ FROM t
 """
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality filter (Wenzek et al. 2020): a bigram LM
+    with stupid backoff (Brants et al. 2007, alpha=0.4) is fit on a
+    deterministic REFERENCE slice (doc_id % 10 < 3 plays Wikipedia) and
+    scores EVERY document — train/apply split, unlike the
+    self-scoring ``lm_unigram_score``. Per bigram instance:
+    seen bigram -> log10(c2/c1(w1)); else seen w2 -> log10(.4) +
+    log10(c1(w2)/N); else the count-1 OOV floor log10(.4/N).
+    Scale shape: all three scoring joins key on md5-int64 hashes (the
+    minhash key discipline — no string keys on any shuffle); the Zipf
+    head of the unigram model is the classic skew join (AQE skew-split
+    handles it, prune counts < k at corpus scale); the bigram model is
+    sort-merge-sized, the unigram model broadcastable once vocab-bounded.
+    Output (doc_id, n_bigrams, avg_logp) — rank/threshold on avg_logp
+    (CCNet's head/middle/tail split is a quantile cut over this column,
+    i.e. ``value_percentiles`` composed downstream). Same round(.,6)
+    log-sum boundary caveat as lm_unigram_score."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        TS.tokens(F.col("text")).alias("toks"),
+        ((F.col("doc_id") % 10) < 3).alias("is_train"),
+    ).filter(F.size("toks") >= 2)
+    inst = base.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_train",
+        DD.md5i64(
+            F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))
+        ).alias("hb"),
+        DD.md5i64(F.col("bg.w1")).alias("h1"),
+        DD.md5i64(F.col("bg.w2")).alias("h2"),
+    )
+    uni = (
+        base.filter("is_train")
+        .select(F.explode("toks").alias("w"))
+        .select(DD.md5i64(F.col("w")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").cast("long").alias("tot"))
+    big = (
+        inst.filter("is_train")
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    ctx = uni.select(F.col("h").alias("h1"), F.col("cnt").alias("cnt_c"))
+    w2m = uni.select(F.col("h").alias("h2"), F.col("cnt").alias("cnt_u"))
+    # a seen bigram implies a seen context word, so cnt_c is never null
+    # on the first branch
+    logp = (
+        F.when(
+            F.col("cnt2").isNotNull(),
+            F.log10("cnt2") - F.log10("cnt_c"),
+        )
+        .when(
+            F.col("cnt_u").isNotNull(),
+            F.log10(F.lit(0.4)) + F.log10("cnt_u") - F.log10("tot"),
+        )
+        .otherwise(F.log10(F.lit(0.4)) - F.log10("tot"))
+    )
+    return (
+        inst.join(big, "hb", "left")
+        .join(ctx, "h1", "left")
+        .join(w2m, "h2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+    )
+
+
+ORACLE_LM_BIGRAM_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         (doc_id % 10) < 3 AS is_train
+  FROM documents
+), b2 AS (
+  SELECT * FROM base WHERE len(toks) >= 2
+), inst AS (
+  SELECT doc_id, is_train,
+         {_md5i64_sql("concat(toks[i], ' ', toks[i + 1])")} AS hb,
+         {_md5i64_sql("toks[i]")} AS h1,
+         {_md5i64_sql("toks[i + 1]")} AS h2
+  FROM b2, unnest(range(1, len(toks))) AS t(i)
+), tr AS (
+  SELECT unnest(toks) AS w FROM b2 WHERE is_train
+), uni AS (
+  SELECT {_md5i64_sql("w")} AS h, count(*) AS cnt FROM tr GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uni
+), big AS (
+  SELECT hb, count(*) AS cnt2 FROM inst WHERE is_train GROUP BY hb
+), s AS (
+  SELECT i.doc_id,
+         CASE WHEN b.cnt2 IS NOT NULL THEN log(b.cnt2) - log(c.cnt)
+              WHEN u.cnt IS NOT NULL
+                THEN log(0.4) + log(u.cnt) - log(tot.tot)
+              ELSE log(0.4) - log(tot.tot) END AS logp
+  FROM inst i
+  LEFT JOIN big b USING (hb)
+  LEFT JOIN uni c ON c.h = i.h1
+  LEFT JOIN uni u ON u.h = i.h2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(logp) / count(*), 6) AS avg_logp
+FROM s GROUP BY doc_id
+"""
+
+
+_QC_BUCKETS = 4096
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality-classifier INFERENCE (Joulin et al.
+    2017 — the GPT-3/LLaMA/RedPajama "pages that look like references"
+    filter): hashed unigram+bigram bag-of-words, mean of per-feature
+    weights, sigmoid, threshold. The trained model is a (bucket ->
+    weight) table — here synthesized deterministically from the bucket
+    hash so both engines agree without a training step; in production
+    the identical plan scores with a learned table. Scale shape: the
+    model is at most ``_QC_BUCKETS`` rows -> broadcast join (fastText
+    hashes into 2M buckets — still broadcastable), so the only
+    doc-side shuffle is the groupBy(doc_id) mean; features reuse the
+    DSIR md5-int64 bucket discipline. Output keeps score (rounded
+    pre-sigmoid mean), prob (sigmoid), and the boolean keep decision.
+    Same round(.,6) float-sum boundary caveat as the other scoring
+    rows."""
+    B = _QC_BUCKETS
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i + 1]))"
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", (DD.md5i64(F.col("g")) % B).alias("bucket"))
+    w = spark.range(B).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                DD.md5i64(F.concat(F.lit("qcw:"), F.col("id").cast("string")))
+                % 2000001
+            )
+            / F.lit(1000000.0)
+            - 1.0
+        ).alias("wgt"),
+    )
+    per = (
+        grams.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("wgt").alias("sw"))
+    )
+    s = F.col("sw") / F.col("n_feats")
+    return per.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round(s, 6).alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(s, 6)))).alias("_p"),
+        (F.round(s, 6) > 0).alias("keep"),
+    ).select(
+        "doc_id",
+        "n_feats",
+        "score",
+        F.round(F.col("_p"), 6).alias("prob"),
+        "keep",
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS g
+  FROM base
+), f AS (
+  SELECT doc_id, {_md5i64_sql("g")} % {_QC_BUCKETS} AS bucket FROM g
+), w AS (
+  SELECT bucket,
+         ({_md5i64_sql("concat('qcw:', CAST(bucket AS VARCHAR))")} % 2000001)
+           / 1000000.0 - 1.0 AS wgt
+  FROM (SELECT unnest(range(0, {_QC_BUCKETS})) AS bucket)
+), s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, sum(wgt) AS sw
+  FROM f JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       round(sw / n_feats, 6) AS score,
+       round(1.0 / (1.0 + exp(-round(sw / n_feats, 6))), 6) AS prob,
+       round(sw / n_feats, 6) > 0 AS keep
+FROM s
+"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (``operators/graph.py``): a deterministic synthetic redirect map
+    over the documents table (doc_id % 16 == 0 is canonical, everyone
+    else 301s to doc_id - 1 -> chains up to 15 hops) is resolved to
+    final destination + exact hop count in ceil(log2(16)) = 4
+    int64-keyed self-join rounds — O(log L) shuffles vs the O(L)
+    naive follow loop, each round's shuffle exactly |nodes| rows and
+    localCheckpoint-materialized so lineage stays linear (a lazy
+    self-join tree doubles per round). The crawl-ops consumer:
+    dedup/index on final_id, feed hops back into ``crawl_schedule``
+    politeness. Oracle replays the same map with a recursive CTE and
+    takes the max-hop row per source."""
+    from slowfast_feature_extractor_spark.operators.graph import (
+        resolve_pointers,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 16 == 0, F.col("doc_id"))
+        .otherwise(F.col("doc_id") - 1)
+        .alias("nxt"),
+    )
+    r = resolve_pointers(m, id_col="doc_id", nxt_col="nxt", rounds=4)
+    return r.select(
+        "doc_id",
+        F.col("final").alias("final_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
+ORACLE_REDIRECT_RESOLVE = """
+WITH RECURSIVE m AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 16 = 0 THEN doc_id ELSE doc_id - 1 END AS nxt
+  FROM documents
+), r AS (
+  SELECT id AS src, nxt AS cur,
+         CASE WHEN nxt = id THEN 0 ELSE 1 END AS hops
+  FROM m
+  UNION ALL
+  SELECT r.src, m.nxt, r.hops + 1
+  FROM r JOIN m ON m.id = r.cur
+  WHERE m.nxt <> m.id
+)
+SELECT src AS doc_id, cur AS final_id, CAST(hops AS INT) AS hops
+FROM r
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY hops DESC) = 1
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson-Sparck Jones;
+    Lucene's k1=1.2, b=0.75, idf = ln(1 + (N-df+.5)/(df+.5)) variant):
+    the query workload is the 20 highest-df terms (deterministic df
+    desc / term asc order), each scored against every containing doc,
+    top-5 docs per term kept. The relational decomposition a search
+    stack runs at scale: one corpus tokenize -> tf table groupBy
+    (doc, term) with map-side partials; df + the query pick reuse that
+    aggregate (no second corpus scan); the 20-term query table
+    broadcasts, so the only doc-keyed work after tf is the per-term
+    top-k window (WindowGroupLimit pushes the rank-5 cut map-side, the
+    ``topk_per_group`` plan shape). Ranking compares ROUNDED scores
+    with doc_id tie-break, so cross-engine double noise below 1e-6
+    cannot flip an order. Scale: tf/df are the standard Zipf-skewed
+    aggregates (AQE skew handles the head); the query side of a real
+    engine is always broadcast-sized."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(TS.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_len"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = F.broadcast(
+        df_t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(20)
+    )
+    scored = (
+        tf.join(qterms, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("tot_len")
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("term", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "score")
+    )
+
+
+ORACLE_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tot_len
+  FROM dl
+), df_t AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), q AS (
+  SELECT term, df FROM df_t ORDER BY df DESC, term ASC LIMIT 20
+), scored AS (
+  SELECT q.term, tf.doc_id,
+         round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * s.n_docs
+                                 / s.tot_len)), 6) AS score
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT term, CAST(rank AS INT) AS rank, doc_id, score
+FROM (SELECT term, doc_id, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting + reweighting (the DoReMi /
+    data-mixing bookkeeping step): per (source, lang) document and
+    token counts, the group's EXACT token share in ppm (integer
+    arithmetic — no double crosses the hash), and the uniform-target
+    sampling weight ``target/actual`` scaled to ppm (how much to over-
+    or under-sample each domain so the training mix is uniform across
+    observed domains). One map-side-combinable groupBy over a map-only
+    tokenize — the whole job is a single shuffle whose key domain is
+    |sources| x |langs| (tiny), then a broadcast of the 1-row totals.
+    At 100 TB this is the nightly mix report feeding the sampler;
+    swapping the uniform target for a learned one changes only the
+    broadcast literal."""
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TS.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            # `div` = exact int64 division (DuckDB `//` twin); `/` on
+            # longs is DOUBLE division and can land off-by-one
+            F.expr("n_tokens * 1000000 div tot_tokens")
+            .cast("long")
+            .alias("share_ppm"),
+            # weight = (tot/n_groups) / n_tokens, in ppm, floor-divided
+            # in int64 (n_tokens * n_groups fits: ppm-scaled corpus)
+            F.expr("tot_tokens * 1000000 div (n_tokens * n_groups)")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = """
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS share_ppm,
+       CAST(tot_tokens * 1000000 // (n_tokens * n_groups) AS BIGINT)
+           AS weight_ppm
+FROM g, tot
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization end-to-end — the "keep one
+    representative per duplicate cluster" policy every corpus build
+    ends with: MinHash+LSH verified pairs (``dedup_minhash_lsh``'s
+    operator) → large-star/small-star connected components
+    (``dedup_clusters_star``'s operator, O(log n) rounds) → per-cluster
+    representative by longest text (n_chars desc, doc_id tie-break).
+    Singletons (docs in no near-dup pair) are their own canonical via
+    the left join + coalesce, so the output covers EVERY doc with its
+    cluster id and keep decision. Scale: the pair/cluster stages are
+    the bucketed sub-quadratic paths already proven; the final pick is
+    a per-cluster WindowGroupLimit-shaped rank over mostly-singleton
+    partitions."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.minhash_lsh_dedup(
+        d, num_hashes=_N_MINHASH, bands=_N_BANDS, threshold=0.2
+    )
+    clusters = DD.dedup_clusters_star(pairs)
+    base = d.select("doc_id", "n_chars")
+    j = base.join(clusters, base["doc_id"] == clusters["id"], "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _dedup_canonical_oracle() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM ed
+  UNION
+  SELECT ed.b, reach.r FROM reach JOIN ed ON ed.a = reach.node
+),
+cl AS (SELECT node AS id, min(r) AS cluster_id FROM reach GROUP BY node),
+full_t AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_chars,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS kept
+FROM full_t
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990) — the phrase/vocab
+    discovery pass tokenizer builds run over a corpus: bigram count
+    c12, unigram counts c1/c2, pmi = log10(c12*N / (c1*c2)) over
+    bigrams with support >= 5, global top-20 by (rounded) PMI with
+    full lexical tie-break. Counts are exact integers; c12*N stays in
+    int64 (both ~tokens, product ~1e12 at sf0.1); only the final log
+    crosses a double, rounded to 6 before ranking. The global top-20
+    is orderBy+limit -> TakeOrdered (per-partition top-k, no single-
+    partition window). Joins key on the word strings — vocab-bounded
+    analysis tables, not the corpus-sized int64-key discipline paths."""
+    d = _docs(spark, sf_dir)
+    base = d.select(TS.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    out = (
+        c12.filter(F.col("c12") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log10(F.col("c12") * F.col("n_tok"))
+                - F.log10(F.col("c1") * F.col("c2")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+ORACLE_COLLOCATIONS = """
+WITH base AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), b2 AS (SELECT toks FROM base WHERE len(toks) >= 2),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM b2, unnest(range(1, len(toks))) AS t(i)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), uni AS (
+  SELECT unnest(toks) AS w FROM b2
+), u AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM u
+)
+SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+       round(log(c12.c12 * tot.n_tok) - log(u1.c * u2.c), 6) AS pmi
+FROM c12
+JOIN u u1 ON u1.w = c12.w1
+JOIN u u2 ON u2.w = c12.w2
+CROSS JOIN tot
+WHERE c12.c12 >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe-style main-content extraction by link density
+    (Kohlschütter et al. 2010 — what trafilatura/jusText do before any
+    quality scoring): documents are rendered into <div> blocks of 10
+    tokens (every 3rd block is nav-shaped: every token a link; content
+    blocks link only their first token — both engines render the same
+    markup), then each block is kept iff 3·n_links < n_words (exact
+    integers), tags stripped, and the doc's surviving content hashed.
+    Entirely JVM split/regexp/array expressions — map-only, zero
+    shuffle, the pass that runs fused with the WARC scan at 100 TB.
+    Oracle renders + filters the same blocks in DuckDB and compares
+    block accounting plus md5 of the extracted text."""
+    d = _docs(spark, sf_dir)
+    toks = TS.tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    nb = F.expr("cast(ceil(size(toks) / 10.0) as int)")
+    html = F.array_join(
+        F.expr(
+            """
+            transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+              b -> concat('<div>',
+                array_join(
+                  transform(slice(toks, b * 10 + 1, 10),
+                    (t, i) -> CASE
+                      WHEN b % 3 = 0 OR i = 0
+                        THEN concat('<a href="/u">', t, '</a>')
+                      ELSE t END),
+                  ' '),
+                '</div>'))
+            """
+        ),
+        "",
+    )
+    blocks = F.filter(F.split(html, "<div>"), lambda b: b != F.lit(""))
+    stripped = F.transform(
+        blocks,
+        lambda b: F.trim(
+            F.regexp_replace(F.regexp_replace(b, "<[^>]*>", " "), " +", " ")
+        ),
+    )
+    n_links = F.transform(
+        blocks, lambda b: F.size(F.split(b, "<a href", -1)) - 1
+    )
+    n_words = F.transform(
+        stripped,
+        lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != F.lit(""))),
+    )
+    kept = F.filter(
+        F.zip_with(
+            stripped,
+            F.zip_with(
+                n_links, n_words, lambda l, w: F.struct(l.alias("l"), w.alias("w"))
+            ),
+            lambda s, lw: F.struct(s.alias("s"), lw["l"].alias("l"), lw["w"].alias("w")),
+        ),
+        lambda r: r["l"] * 3 < r["w"],
+    )
+    return base.select(
+        "doc_id",
+        nb.alias("n_blocks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda r: r["s"]), "\n")
+        ).alias("content_md5"),
+    )
+
+
+ORACLE_BOILERPLATE_FILTER = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), b1 AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 1),
+r AS (
+  SELECT doc_id,
+         CAST(ceil(len(toks) / 10.0) AS INT) AS n_blocks,
+         list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+           b -> '<div>' ||
+                list_aggregate(
+                  list_transform(toks[(b * 10 + 1):(b * 10 + 10)],
+                    (t, i) -> CASE
+                      WHEN b % 3 = 0 OR i = 1
+                        THEN '<a href="/u">' || t || '</a>'
+                      ELSE t END),
+                  'string_agg', ' ') ||
+                '</div>') AS blocks
+  FROM b1
+), s AS (
+  SELECT doc_id, n_blocks,
+         list_transform(blocks, b -> struct_pack(
+           s := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                    ' +', ' ', 'g')),
+           l := len(regexp_extract_all(b, '<a href')))) AS parts
+  FROM r
+), k AS (
+  SELECT doc_id, n_blocks,
+         list_filter(parts, p ->
+           p.l * 3 < len(list_filter(string_split(p.s, ' '),
+                                     w -> w <> ''))) AS kept
+  FROM s
+)
+SELECT doc_id, n_blocks, CAST(len(kept) AS INT) AS n_kept,
+       md5(coalesce(list_aggregate(list_transform(kept, p -> p.s),
+                                   'string_agg', chr(10)), '')) AS content_md5
+FROM k
+"""
+
+
 _WINNOW_BOILER = (
     "the quick brown fox jumps over the lazy dog near the riverbank today"
 )
@@ -5629,6 +6360,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_winnow": (q_dedup_winnow, ORACLE_DEDUP_WINNOW),
     "c4_filter": (q_c4_filter, ORACLE_C4_FILTER),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "lm_bigram_score": (q_lm_bigram_score, ORACLE_LM_BIGRAM_SCORE),
+    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
+    "redirect_resolve": (q_redirect_resolve, ORACLE_REDIRECT_RESOLVE),
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
+    "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
+    "dedup_canonical": (q_dedup_canonical, _dedup_canonical_oracle()),
+    "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
+    "collocations": (q_collocations, ORACLE_COLLOCATIONS),
+    "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

@@ -37,6 +37,9 @@ _EXECUTES_IN_BUILDER = {
     "dedup_clusters_star",  # iterative star contraction (count per round)
     "knn_ivf",              # kmeans fit collects sampled centroids
     "knn_ivf_fullprobe",
+    "knn_ivfpq",            # seed-codebook collect (16 rows) in builder
+    "dedup_canonical",      # wraps dedup_clusters_star's iterative loop
+    "redirect_resolve",     # per-round localCheckpoint runs jobs
     "json_export",          # single-blob export relation
 }
 
@@ -49,6 +52,10 @@ _SCALAR_BROADCAST_OK = {
     "pagerank2",          # node count n (1 row)
     "dedup_semantic",     # k=8 seed-centroid table fanned into every row
     "heavy_hitters",      # 1-row exact token total vs candidate counts
+    "lm_bigram_score",    # 1-row train-token total (stupid-backoff N)
+    "bm25_topk",          # 1-row corpus stats (n_docs, total length)
+    "collocations",       # 1-row corpus token total
+    "mixture_weights",    # 1-row totals (tot_tokens, n_groups)
 }
 
 # SinglePartition exchanges allowed: reductions whose input is already
@@ -60,6 +67,10 @@ _SINGLE_PARTITION_OK = {
     "dsir_score",         # 1-row feature totals
     "pagerank2",          # 1-row node count
     "heavy_hitters",      # 1-row exact token total
+    "lm_bigram_score",    # 1-row train-token total
+    "bm25_topk",          # 1-row stats + 20-row query-term limit
+    "collocations",       # 1-row token total
+    "mixture_weights",    # 1-row totals
 }
 
 _PLAN_NAMES = sorted(set(REGISTRY) - _EXECUTES_IN_BUILDER)
