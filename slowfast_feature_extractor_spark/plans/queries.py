@@ -4428,6 +4428,130 @@ FROM k
 """
 
 
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL crawl-record ingestion (the Dolma / WET-derivative corpus
+    interchange format): documents are WRITTEN as real newline-
+    delimited JSON — text fields carry quotes/newlines-as-escapes the
+    serializer must encode — plus planted CORRUPT lines (one per 50
+    docs, truncated mid-record), then READ BACK with an explicit
+    schema in PERMISSIVE mode: corrupt rows land in
+    ``_corrupt_record`` instead of killing the scan (the only
+    survivable posture on a 100 TB crawl where some shard always has
+    a torn tail). Output: per-source doc counts + md5 of the
+    round-tripped text + corrupt-line accounting. The oracle computes
+    the same aggregates from the source table (corrupt count is
+    analytic: doc_id % 50 == 0 rows were replaced), so any JSON
+    serialize/parse defect breaks the hash."""
+    import tempfile
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(' with "quoted" tail')).alias("text"),
+    )
+    line = F.when(
+        F.col("doc_id") % 50 == 0,
+        # torn record: valid JSON prefix, truncated mid-string
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "source": "tru'),
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "text")))
+    jdir = tempfile.mkdtemp(prefix="sfe_jsonl_")
+    d.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        jdir
+    )
+    j = (
+        spark.read.schema(
+            "doc_id long, source string, text string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(jdir)
+    )
+    return (
+        j.withColumn("is_corrupt", F.col("_corrupt_record").isNotNull())
+        .groupBy(F.coalesce("source", F.lit("__corrupt__")).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("is_corrupt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_corrupt"),
+                                F.concat_ws(
+                                    ":", F.col("doc_id"), F.col("text")
+                                ),
+                            )
+                        )
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+    )
+
+
+ORACLE_JSONL_SCAN = """
+WITH d AS (
+  SELECT doc_id, source, text || ' with "quoted" tail' AS text,
+         doc_id % 50 = 0 AS is_corrupt
+  FROM documents
+)
+SELECT CASE WHEN is_corrupt THEN '__corrupt__' ELSE source END AS source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corrupt,
+       md5(coalesce(array_to_string(
+           list_sort(list(CAST(doc_id AS VARCHAR) || ':' || text)
+                     FILTER (WHERE NOT is_corrupt)),
+           '|'), '')) AS content_md5
+FROM d
+GROUP BY 1
+"""
+
+
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the third columnar interchange format after
+    parquet/CSV — warehouse estates hand Spark ORC constantly):
+    documents are written as ORC with (source) partitioning, read
+    back through the partition-discovering scan with a partition
+    filter AND a data filter (both must push into the ORC reader),
+    and aggregated. Oracle computes the same from the source table —
+    a type-mapping or partition-decode defect breaks the hash."""
+    import tempfile
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    odir = tempfile.mkdtemp(prefix="sfe_orc_")
+    d.write.mode("overwrite").partitionBy("source").orc(odir)
+    o = (
+        spark.read.orc(odir)
+        .filter((F.col("source") != "src0") & (F.col("n_chars") >= 100))
+    )
+    return o.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+ORACLE_ORC_SCAN = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+WHERE source <> 'src0' AND n_chars >= 100
+GROUP BY source, lang
+"""
+
+
 _WINNOW_BOILER = (
     "the quick brown fox jumps over the lazy dog near the riverbank today"
 )
@@ -6369,6 +6493,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
+    "jsonl_scan": (q_jsonl_scan, ORACLE_JSONL_SCAN),
+    "orc_scan": (q_orc_scan, ORACLE_ORC_SCAN),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),

@@ -29,6 +29,8 @@ from conftest import SF_TINY
 # compilation alone would run it — covered by their oracle rows instead
 _EXECUTES_IN_BUILDER = {
     "manifest_scan",        # writes + re-reads a CSV manifest
+    "jsonl_scan",           # writes + re-reads a JSONL shard
+    "orc_scan",             # writes + re-reads a partitioned ORC table
     "sessionize_streamed",  # runs an availableNow streaming query
     "dedup_streamed",       # runs an availableNow streaming query
     "dual_rate_streamed",   # runs an availableNow streaming query
