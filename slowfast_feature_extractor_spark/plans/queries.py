@@ -4586,20 +4586,35 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    hashes = F.transform(TS.shingles(inj, 4), DD.md5i64)
-    fps = DD.winnow_fingerprints(hashes, w=8)
+    # the hash array MUST be materialized behind a projection boundary
+    # before winnowing: inlined, the whole shingle+md5 array expression
+    # lands inside the per-window lambda and is re-evaluated ONCE PER
+    # WINDOW (~50x the md5 work — measured 9.8s -> 2.7s at sf0.1;
+    # CollapseProject declines to merge because the alias is expensive
+    # and multiply-referenced, which is exactly the barrier we want)
+    h = d.select(
+        "doc_id", F.transform(TS.shingles(inj, 4), DD.md5i64).alias("hs")
+    )
+    f = h.select(
+        "doc_id", DD.winnow_fingerprints(F.col("hs"), w=8).alias("fps")
+    )
+    # explode_OUTER, deliberately: inner explode triggers
+    # InferFiltersFromGenerate, whose inferred size(fps)>0 predicate
+    # re-inlines the whole winnow expression (boundary and all) into a
+    # scan-level DataFilter — measured 159s vs 3s at sf0.1. Outer
+    # explode infers nothing; the isNotNull filter below restores the
+    # inner semantics (empty docs emit a null fp row, dropped here).
     ex = (
-        d.select(F.col("doc_id"), F.explode(fps).alias("fp"))
+        f.select(F.col("doc_id"), F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
-    hot = (
-        ex.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("fp")
-    )
+    # one shuffle on fp (window count per fingerprint group) replaces
+    # the groupBy + self-join pair — the fingerprint stream is computed
+    # and shuffled ONCE
+    wfp = Window.partitionBy("fp")
     return (
-        ex.join(hot, "fp")
+        ex.withColumn("n_docs", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("n_docs") >= 2)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
     )
