@@ -4557,6 +4557,146 @@ _WINNOW_BOILER = (
 )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN removal (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", at 8-token n-gram granularity):
+    every 8-gram that occurs >= 2 times ANYWHERE in the corpus (any
+    alignment, any document — including within-doc repeats) has its
+    full 8-token extent removed from every document; the survivors are
+    reassembled in order. This is the span-level complement of
+    ``dedup_passages`` (fixed non-overlapping segments, first
+    occurrence kept) and the removal counterpart of ``dedup_winnow``
+    (detection only). The same boilerplate planting as winnow (every
+    7th doc appended, every 14th PREPENDED) proves alignment
+    robustness: the prepended copy shifts every fixed boundary but
+    still vanishes.
+
+    Scale shape: the n-gram stream shuffles once on an md5-int64 key
+    (map-side combinable count, Zipf head -> AQE); covered-position
+    expansion and text rebuild are per-doc array work after ONE
+    groupBy(doc) of the duplicated starts; hash arrays sit behind
+    projection boundaries (NOTES #12) and the explode is _outer
+    (NOTES #13). Output: per-doc token accounting + md5 of the
+    cleaned text."""
+    k = 8
+    d = _docs(spark, sf_dir)
+    inj = (
+        F.when(
+            F.col("doc_id") % 14 == 0,
+            F.concat(F.lit(_WINNOW_BOILER + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_BOILER)),
+        )
+        .otherwise(F.col("text"))
+    )
+    t = d.select("doc_id", TS.tokens(inj).alias("toks"))
+    h = t.select(
+        "doc_id",
+        "toks",
+        F.when(
+            F.size("toks") >= k,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k - 1}),"
+                f" i -> conv(substring(md5(array_join("
+                f"slice(toks, i, {k}), ' ')), 1, 15), 16, 10))"
+            ).cast("array<long>"),
+        )
+        .otherwise(F.expr("CAST(array() AS array<long>)"))
+        .alias("hs"),
+    )
+    grams = h.select(
+        "doc_id", F.posexplode_outer("hs").alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("g")
+    )
+    starts = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    # rebuild joins starts onto t (tokens only) — joining onto h would
+    # recompute the full n-gram hash projection for the rebuild side
+    j = t.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            F.col("starts"), F.expr("CAST(array() AS array<int>)")
+        ).alias("starts"),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "starts", lambda s: F.sequence(s, s + F.lit(k - 1))
+            )
+        )
+    )
+    # posexplode is 0-based; covered spans are [start, start+7] in the
+    # same base. kept = tokens whose index is in no covered span.
+    cleaned = F.filter(
+        F.transform(
+            "toks", lambda tk, i: F.struct(tk.alias("t"), i.alias("i"))
+        ),
+        lambda r: ~F.array_contains(covered, r["i"]),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        (F.size("toks") - F.size(cleaned)).cast("int").alias("n_removed"),
+        F.md5(
+            F.array_join(F.transform(cleaned, lambda r: r["t"]), " ")
+        ).alias("clean_md5"),
+    )
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           CASE WHEN doc_id % 14 = 0 THEN '{_WINNOW_BOILER} ' || text
+                WHEN doc_id % 7 = 0 THEN text || ' {_WINNOW_BOILER}'
+                ELSE text END, ' '), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 8 THEN
+           list_transform(range(1, len(toks) - 6),
+             i -> {_md5i64_sql("array_to_string(toks[i:i+7], ' ')")})
+         ELSE [] END AS hs
+  FROM t
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, hs[i] AS g
+  FROM h, unnest(range(1, len(hs) + 1)) AS u(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), starts AS (
+  SELECT doc_id, list_distinct(list(pos)) AS starts
+  FROM grams JOIN dup USING (g) GROUP BY doc_id
+), j AS (
+  SELECT h.doc_id, h.toks, COALESCE(s.starts, []) AS starts
+  FROM h LEFT JOIN starts s ON s.doc_id = h.doc_id
+), c AS (
+  SELECT doc_id, toks,
+         list_distinct(flatten(list_transform(starts,
+             s -> range(s, s + 8)))) AS covered
+  FROM j
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(covered) - len(list_filter(covered,
+           p -> p > len(toks) - 1)) AS INT) AS n_removed,
+       md5(coalesce(array_to_string(
+           list_filter(toks, (tk, i) -> NOT list_contains(covered, i - 1)),
+           ' '), '')) AS clean_md5
+FROM c
+"""
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-robust duplicated-span detection via winnowing
     (Schleimer et al., the MOSS fingerprint scheme;
@@ -6510,6 +6650,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
     "jsonl_scan": (q_jsonl_scan, ORACLE_JSONL_SCAN),
     "orc_scan": (q_orc_scan, ORACLE_ORC_SCAN),
+    "dedup_spans": (q_dedup_spans, ORACLE_DEDUP_SPANS),
     "multimodal_jpeg_420": (q_multimodal_jpeg_420, _mm_jpeg_420_oracle()),
     "pit_dual_rate_auto": (q_pit_dual_rate_auto, ORACLE_PIT_DUAL_RATE),
     "knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
