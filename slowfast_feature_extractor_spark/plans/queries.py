@@ -3630,13 +3630,17 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfx = F.array(*[F.lit(s) for s in _C4_SUFFIXES])
     # deterministic per-line endings cycling through every rule class
     # (terminal punct / none / brace / lorem / javascript) — the corpus
-    # text itself is punctuation-free, so the rules must be planted
+    # text itself is punctuation-free, so the rules must be planted.
+    # `lines` and `keep` sit behind projection aliases (NOTES #12):
+    # inlined, the regexp+split render re-ran once per OUTPUT COLUMN
+    # (4x regexp_replace / 7x split in the measured plan)
     lines = F.transform(
         raw, lambda ln, i: F.concat(ln, F.element_at(sfx, (i % 8) + 1))
     )
     words = lambda ln: F.size(F.filter(F.split(ln, " "), lambda w: w != ""))  # noqa: E731
+    t = d.select("doc_id", lines.alias("lines"))
     keep = F.filter(
-        lines,
+        F.col("lines"),
         lambda ln: (
             ln.rlike("[.!?\"']$")
             & (words(ln) >= 4)
@@ -3645,12 +3649,13 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.contains(F.lower(ln), F.lit("javascript"))
         ),
     )
-    return d.select(
+    t = t.select("doc_id", F.size("lines").alias("nl"), keep.alias("keep"))
+    return t.select(
         "doc_id",
-        F.size(lines).cast("int").alias("n_lines"),
-        F.size(keep).cast("int").alias("n_kept"),
-        (F.size(keep) >= 3).alias("doc_kept"),
-        F.md5(F.array_join(keep, "\n")).alias("cleaned_md5"),
+        F.col("nl").cast("int").alias("n_lines"),
+        F.size("keep").cast("int").alias("n_kept"),
+        (F.size("keep") >= 3).alias("doc_kept"),
+        F.md5(F.array_join(F.col("keep"), "\n")).alias("cleaned_md5"),
     )
 
 
@@ -4354,36 +4359,48 @@ def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "",
     )
+    # layered projection aliases (NOTES #12): each derived array is a
+    # real column before the next layer references it — inlined, the
+    # render+split chain re-ran per derived column (8x regexp_replace /
+    # 13x split in the measured plan)
     blocks = F.filter(F.split(html, "<div>"), lambda b: b != F.lit(""))
+    t = base.select("doc_id", nb.alias("n_blocks"), blocks.alias("blocks"))
     stripped = F.transform(
-        blocks,
+        F.col("blocks"),
         lambda b: F.trim(
             F.regexp_replace(F.regexp_replace(b, "<[^>]*>", " "), " +", " ")
         ),
     )
     n_links = F.transform(
-        blocks, lambda b: F.size(F.split(b, "<a href", -1)) - 1
+        F.col("blocks"), lambda b: F.size(F.split(b, "<a href", -1)) - 1
+    )
+    t = t.select(
+        "doc_id", "n_blocks", stripped.alias("stripped"), n_links.alias("nl")
     )
     n_words = F.transform(
-        stripped,
+        F.col("stripped"),
         lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != F.lit(""))),
     )
     kept = F.filter(
         F.zip_with(
-            stripped,
+            F.col("stripped"),
             F.zip_with(
-                n_links, n_words, lambda l, w: F.struct(l.alias("l"), w.alias("w"))
+                F.col("nl"), n_words,
+                lambda l, w: F.struct(l.alias("l"), w.alias("w")),
             ),
-            lambda s, lw: F.struct(s.alias("s"), lw["l"].alias("l"), lw["w"].alias("w")),
+            lambda s, lw: F.struct(
+                s.alias("s"), lw["l"].alias("l"), lw["w"].alias("w")
+            ),
         ),
         lambda r: r["l"] * 3 < r["w"],
     )
-    return base.select(
+    t = t.select("doc_id", "n_blocks", kept.alias("kept"))
+    return t.select(
         "doc_id",
-        nb.alias("n_blocks"),
-        F.size(kept).cast("int").alias("n_kept"),
+        "n_blocks",
+        F.size("kept").cast("int").alias("n_kept"),
         F.md5(
-            F.array_join(F.transform(kept, lambda r: r["s"]), "\n")
+            F.array_join(F.transform("kept", lambda r: r["s"]), "\n")
         ).alias("content_md5"),
     )
 
