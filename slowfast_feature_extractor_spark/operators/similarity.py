@@ -681,6 +681,8 @@ def knn_ivfpq(
     k: int = 5,
     m_sub: int = 8,
     n_codes: int = 16,
+    n_cells: int | None = None,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -712,6 +714,13 @@ def knn_ivfpq(
     Distances are rounded to 6 dp before ranking (the knn_ivf
     cross-engine float discipline). Output (query_id, neighbor_id,
     rank, adist) — approximate squared-L2, ascending.
+
+    ``n_cells`` set = the full FAISS IVF-PQ composition: a seed coarse
+    quantizer (``n_cells`` lowest-id vectors, the knn_ivf pattern)
+    assigns every corpus vector one cell; each query probes its
+    ``n_probe`` nearest cells and the ADC join gains the cell equi-key
+    — candidates drop from O(N x Q) to O(N x Q x n_probe / n_cells),
+    the shape that makes PQ usable at 10^10 vectors.
     """
     import numpy as np
 
@@ -752,9 +761,50 @@ def knn_ivfpq(
             ]
         return pd.Series([r.tolist() for r in codes])
 
-    codes = corpus.select(
-        id_col, F.posexplode(encode(F.col(vec_col))).alias("m", "code")
-    )
+    cells = None
+    if n_cells is not None:
+        cent_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .collect()
+        )
+        cents = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows]
+        )
+        bc_cells = spark.sparkContext.broadcast(cents)
+
+        def _cells_udf(probe: int):
+            @F.pandas_udf("array<int>")
+            def cf(vs: pd.Series) -> pd.Series:
+                cc = bc_cells.value
+                if not len(vs):
+                    return pd.Series([], dtype=object)
+                v = np.stack(vs.map(lambda x: np.asarray(x, dtype=np.float64)))
+                d2 = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2.0 * (v @ cc.T)
+                    + (cc * cc).sum(axis=1)[None, :]
+                )
+                order = np.argsort(np.round(d2, 6), axis=1, kind="stable")[
+                    :, :probe
+                ].astype("int32")
+                return pd.Series([r.tolist() for r in order])
+
+            return cf
+
+        cells = _cells_udf
+
+    if cells is not None:
+        codes = corpus.select(
+            id_col,
+            F.element_at(cells(1)(F.col(vec_col)), 1).alias("cell"),
+            F.posexplode(encode(F.col(vec_col))).alias("m", "code"),
+        )
+    else:
+        codes = corpus.select(
+            id_col, F.posexplode(encode(F.col(vec_col))).alias("m", "code")
+        )
     cb = spark.createDataFrame(
         [
             (m, c, books[m][c].tolist())
@@ -763,8 +813,14 @@ def knn_ivfpq(
         ],
         "m int, code int, cent array<double>",
     )
-    qsub = queries.select(
+    q = queries
+    if cells is not None:
+        q = q.withColumn(
+            "cell", F.explode(cells(n_probe)(F.col(query_vec_col)))
+        )
+    qsub = q.select(
         query_id_col,
+        *(["cell"] if cells is not None else []),
         F.posexplode(
             F.array(
                 *[
@@ -780,6 +836,7 @@ def knn_ivfpq(
     )
     lut = qsub.join(F.broadcast(cb), "m").select(
         query_id_col,
+        *(["cell"] if cells is not None else []),
         "m",
         "code",
         F.round(
@@ -795,8 +852,9 @@ def knn_ivfpq(
             6,
         ).alias("d2r"),
     )
+    join_keys = (["cell"] if cells is not None else []) + ["m", "code"]
     scored = (
-        codes.join(F.broadcast(lut), ["m", "code"])
+        codes.join(F.broadcast(lut), join_keys)
         .filter(F.col(id_col) != F.col(query_id_col))
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum("d2r"), 6).alias("adist"))

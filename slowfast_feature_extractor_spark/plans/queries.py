@@ -1553,6 +1553,83 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_knn_ivfpq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IVF-PQ composition: seed coarse quantizer (8
+    cells, the knn_ivf pattern) restricts each query's ADC scoring to
+    its 4 probed cells, so candidates drop from O(N·Q) to
+    O(N·Q·probe/cells) — the shape that makes PQ usable at 10^10
+    vectors. Same deterministic codebooks and relational ADC as
+    ``knn_ivfpq``; the scoring join just gains the cell equi-key."""
+    return SIM.knn_ivfpq(
+        _emb(spark, sf_dir), _queries_subset(spark, sf_dir),
+        k=5, m_sub=8, n_codes=16, n_cells=8, n_probe=4,
+    )
+
+
+def _knn_ivfpq_ivf_oracle(
+    m_sub: int = 8, n_codes: int = 16, sub: int = 8,
+    n_cells: int = 8, n_probe: int = 4,
+) -> str:
+    sl_e = f"e.v[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    sl_s = f"s.v[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    sl_q = f"q.qv[(t.m*{sub}+1):((t.m+1)*{sub})]"
+    return f"""
+WITH e AS ({_EMB_DOUBLE}),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_codes})
+),
+cseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cells})
+),
+cellassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_distance(e.v, c.cv) ** 2, 6) ASC,
+                                       c.cell ASC) AS rn
+    FROM e CROSS JOIN cseeds c) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, t.m, s.code,
+           row_number() OVER (PARTITION BY e.vec_id, t.m
+                              ORDER BY round(list_distance({sl_e}, {sl_s}) ** 2, 6) ASC,
+                                       s.code ASC) AS rn
+    FROM e CROSS JOIN range(0, {m_sub}) t(m) CROSS JOIN seeds s) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round(list_distance(q.qv, c.cv) ** 2, 6) ASC,
+                                       c.cell ASC) AS rn
+    FROM q CROSS JOIN cseeds c) WHERE rn <= {n_probe}
+),
+lut AS (
+  SELECT q.query_id, t.m, s.code,
+         round(list_distance({sl_q}, {sl_s}) ** 2, 6) AS d2r
+  FROM q CROSS JOIN range(0, {m_sub}) t(m) CROSS JOIN seeds s
+),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, round(sum(l.d2r), 6) AS adist
+  FROM assign a
+  JOIN cellassign ca ON ca.vec_id = a.vec_id
+  JOIN qprobe qp ON qp.cell = ca.cell
+  JOIN lut l ON l.query_id = qp.query_id AND l.m = a.m AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM r WHERE rank <= 5
+"""
+
+
 def q_content_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/P10/J3: bbox-crop analog — a deliberately-incomplete side
     table of byte ranges left-joined on the page key selects the content
@@ -6663,6 +6740,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
     "dedup_canonical": (q_dedup_canonical, _dedup_canonical_oracle()),
     "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
+    "knn_ivfpq_ivf": (q_knn_ivfpq_ivf, _knn_ivfpq_ivf_oracle()),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
     "jsonl_scan": (q_jsonl_scan, ORACLE_JSONL_SCAN),

@@ -40,6 +40,7 @@ _EXECUTES_IN_BUILDER = {
     "knn_ivf",              # kmeans fit collects sampled centroids
     "knn_ivf_fullprobe",
     "knn_ivfpq",            # seed-codebook collect (16 rows) in builder
+    "knn_ivfpq_ivf",        # seed codebook + cell centroid collects
     "dedup_canonical",      # wraps dedup_clusters_star's iterative loop
     "redirect_resolve",     # per-round localCheckpoint runs jobs
     "json_export",          # single-blob export relation
