@@ -2361,3 +2361,62 @@ def gif_features(
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
         _batches, schema=schema
     )
+
+
+def audio_spectral(
+    df: DataFrame, media_col: str = "audio", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched SPECTRAL feature extraction over a WAV binary
+    column — the audio analog of the reference's per-clip feature
+    extractor (reference/extract_feature.py: decode -> model ->
+    feature vector), with an FFT in place of the network: real RIFF
+    decode (:func:`decode_audio`), mono fold (channel mean in int64),
+    one rFFT over the full clip, and the top-2 magnitude bins above DC
+    with the dominant-bin magnitude ratio. For a tone synthesized AT
+    an exact bin the argmax is exact regardless of float noise, which
+    is what makes the ``audio_spectral`` registry row hash-checkable:
+    every output is an integer (bins, counts) except the ratio, which
+    is rounded. Batches stream through mapInPandas (one numpy rFFT per
+    clip, vectorized); null/corrupt blobs yield a null row (P9
+    policy)."""
+    import numpy as np
+
+    cols = ["n_samples", "dom_bin", "second_bin", "dom_ratio_pct"]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in ["doc_id", *cols]}
+            for i, b in zip(pdf[id_col], pdf[media_col]):
+                rows["doc_id"].append(i)
+                try:
+                    d = decode_audio(bytes(b))
+                    pcm = np.frombuffer(d["pcm"], dtype="<i2").astype(
+                        "float64"
+                    )
+                    ch = d["channels"]
+                    if ch > 1:
+                        pcm = pcm.reshape(-1, ch).mean(axis=1)
+                    if not len(pcm):
+                        raise ValueError("empty clip")
+                except Exception:
+                    for c in cols:
+                        rows[c].append(None)
+                    continue
+                mag = np.abs(np.fft.rfft(pcm))
+                mag[0] = 0.0  # DC carries synthesis offset, not tone
+                order = np.argsort(-mag, kind="stable")
+                dom = int(order[0])
+                second = int(order[1]) if len(order) > 1 else None
+                tot = float(mag.sum())
+                ratio = int(round(100.0 * float(mag[dom]) / tot)) if tot > 0 else 0
+                rows["n_samples"].append(len(pcm))
+                rows["dom_bin"].append(dom)
+                rows["second_bin"].append(second)
+                rows["dom_ratio_pct"].append(ratio)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_samples int, dom_bin int, second_bin int, "
+        "dom_ratio_pct int"
+    )
+    return df.select(id_col, media_col).mapInPandas(_batches, schema)

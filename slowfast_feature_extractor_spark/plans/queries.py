@@ -1553,6 +1553,74 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION (operators/multimodal.audio_spectral)
+    — the spectral analog of the reference's per-clip feature pass
+    (reference/extract_feature.py): per document a 1024-sample WAV is
+    synthesized with TWO exact-bin tones (dominant 12000 amplitude at
+    bin 20 + doc_id%200, secondary amp CASE(doc_id%4) in
+    {3000,4500,6000,9000} at bin 250 + doc_id%150), round-tripped
+    through the real RIFF container, decoded, and rFFT'd; the row
+    emits the top-2 magnitude bins and the dominant-magnitude share.
+    Exact-bin tones make argmax immune to float noise and the int16
+    quantization floor shifts the share by <0.05% — every planted
+    ratio sits >=0.17 from a rounding boundary, so the oracle
+    recomputes all outputs ANALYTICALLY from the synth parameters.
+    (The synth loop is per-row Python by design — it generates the
+    fixture; the decode+FFT under test is the Arrow-batched
+    mapInPandas operator.)"""
+    import math
+
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        audio_spectral,
+        synth_wav,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = 1024
+    amps = [3000, 4500, 6000, 9000]
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "audio": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                b1 = 20 + doc_id % 200
+                b2 = 250 + doc_id % 150
+                a2 = amps[doc_id % 4]
+                frames = [
+                    int(
+                        round(
+                            12000.0 * math.sin(2 * math.pi * b1 * t / n)
+                            + a2 * math.sin(2 * math.pi * b2 * t / n)
+                        )
+                    )
+                    for t in range(n)
+                ]
+                out["doc_id"].append(doc_id)
+                out["audio"].append(synth_wav(16000, 1, frames))
+            yield pd.DataFrame(out)
+
+    wav = d.mapInPandas(_synth, "doc_id long, audio binary")
+    return audio_spectral(wav)
+
+
+ORACLE_AUDIO_SPECTRAL = """
+SELECT doc_id,
+       CAST(1024 AS INT) AS n_samples,
+       CAST(20 + doc_id % 200 AS INT) AS dom_bin,
+       CAST(250 + doc_id % 150 AS INT) AS second_bin,
+       CAST(round(100.0 * 12000 /
+            (12000 + CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 3000 WHEN 1 THEN 4500
+                     WHEN 2 THEN 6000 ELSE 9000 END)) AS INT)
+           AS dom_ratio_pct
+FROM documents
+"""
+
+
 def q_knn_ivfpq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FAISS IVF-PQ composition: seed coarse quantizer (8
     cells, the knn_ivf pattern) restricts each query's ADC scoring to
@@ -6741,6 +6809,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_canonical": (q_dedup_canonical, _dedup_canonical_oracle()),
     "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
     "knn_ivfpq_ivf": (q_knn_ivfpq_ivf, _knn_ivfpq_ivf_oracle()),
+    "audio_spectral": (q_audio_spectral, ORACLE_AUDIO_SPECTRAL),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
     "jsonl_scan": (q_jsonl_scan, ORACLE_JSONL_SCAN),
