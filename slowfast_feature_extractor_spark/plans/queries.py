@@ -1553,6 +1553,60 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-Res scheme every quality-weighted corpus
+    sampler uses): each doc draws a deterministic uniform u from its
+    id hash and ranks by ln(u)/weight (monotone twin of u^(1/w));
+    the top-5 per source are the sample, inclusion probability
+    proportional to weight (n_chars here — swap in a quality score in
+    production). One-pass, map-only scoring + a per-group
+    WindowGroupLimit rank — the distributed reservoir at any corpus
+    size, no sequential state. The rank key is rounded to 12 dp with
+    a doc_id tie-break so sub-noise float drift can't flip an order
+    (standing boundary caveat)."""
+    d = _docs(spark, sf_dir)
+    u = (
+        (DD.md5i64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+         % F.lit(9007199254740992).cast("long"))
+        + 1
+    ) / F.lit(9007199254740992.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    t = d.select("doc_id", "source", "n_chars", key.alias("akey"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("akey").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_chars",
+            F.col("akey").alias("res_key"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((({_md5i64_sql(
+             "concat('ws:', CAST(doc_id AS VARCHAR))"
+         )} % 9007199254740992) + 1) / 9007199254740992.0)
+               / n_chars, 12) AS akey
+  FROM documents
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars,
+       akey AS res_key
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY akey DESC, doc_id ASC) AS rank
+      FROM t)
+WHERE rank <= 5
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FEATURE EXTRACTION (operators/multimodal.audio_spectral)
     — the spectral analog of the reference's per-clip feature pass
@@ -6810,6 +6864,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
     "knn_ivfpq_ivf": (q_knn_ivfpq_ivf, _knn_ivfpq_ivf_oracle()),
     "audio_spectral": (q_audio_spectral, ORACLE_AUDIO_SPECTRAL),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
     "jsonl_scan": (q_jsonl_scan, ORACLE_JSONL_SCAN),
