@@ -278,6 +278,9 @@ def run_suite(sf_dir: str, cpus: int, repeats: int = 3, visits: int = 2) -> dict
         # against their own calibration before reading deltas
         "window_throttle_spread": round(max(calibs) / max(1, min(calibs)), 3),
         "excluded_registry_queries": excluded,
+        # suite wall grows with the registry (tier-2 times EVERY row);
+        # compare rounds per-query or normalize by this count
+        "n_queries_timed": len(timings),
     }
 
 
