@@ -89,3 +89,21 @@ def test_linear_lineage_per_round(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 0, plan
     assert "LogicalRDD" in plan
+
+
+def test_cycle_freezes_at_rounds_bound(spark):
+    """A redirect LOOP (a->b->c->a) must not hang or error: pointer
+    doubling walks exactly 2^rounds steps and reports that position —
+    deterministic, bounded, and flaggable downstream via hops ==
+    2^rounds (a chain that long is otherwise impossible when the
+    caller sizes rounds to the redirect cap)."""
+    nxt = {0: 1, 1: 2, 2: 0, 9: 9}
+    out = {
+        r["id"]: (r["final"], r["hops"])
+        for r in resolve_pointers(_as_df(spark, nxt), rounds=4).collect()
+    }
+    assert out[9] == (9, 0)
+    for x in (0, 1, 2):
+        final, hops = out[x]
+        assert hops == 16  # froze at 2^rounds, did not loop forever
+        assert final == (x + 16) % 3
