@@ -799,8 +799,10 @@ def decode_jpeg(data: bytes):
     JFIF 1.02), with restart intervals (DRI + RSTn) in all modes, and
     sequential scans either interleaved or one-per-component (the
     non-interleaved multi-scan layout; incomplete component coverage
-    is refused). Hierarchical and lossless modes still need a
-    production codec and raise NotImplementedError. Reference decode analog:
+    is refused), plus LOSSLESS (SOF3, T.81 process 14: predictors 1-7,
+    2-16 bit precision, point transform — exact samples returned under
+    a ``samples`` key). Hierarchical and arithmetic-coded modes still
+    need a production codec and raise NotImplementedError. Reference decode analog:
     reference/datasets/videoset.py:66-95 (cv2 over compressed frames)
     — the same decode step, zero third-party deps."""
     import struct
@@ -815,6 +817,8 @@ def decode_jpeg(data: bytes):
     comps: list[dict] = []
     width = height = None
     progressive = False
+    lossless = False
+    prec = 8
     dri = 0
     scans: list[dict] = []
     while pos + 4 <= len(data):
@@ -844,18 +848,20 @@ def decode_jpeg(data: bytes):
                     )
                 qt[tq] = tbl.reshape(8, 8)
                 i += 128 if pq else 64
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
             progressive = marker == 0xC2
-            _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            lossless = marker == 0xC3
+            prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 h, v = hv >> 4, hv & 15
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise ValueError(f"bad sampling factors {h}x{v}")
                 comps.append({"id": cid, "tq": tq, "h": h, "v": v})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical/lossless/arithmetic JPEG modes unsupported"
+                "hierarchical/arithmetic JPEG modes unsupported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -898,6 +904,50 @@ def decode_jpeg(data: bytes):
             scans.append(scan)
     if width is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if lossless:
+        # T.81 process 14: predictive, no DCT/quant — exact samples out
+        if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+            raise NotImplementedError(
+                "lossless JPEG with sampling factors unsupported"
+            )
+        if len(scans) != 1 or len(scans[0]["order"]) != len(comps):
+            raise NotImplementedError(
+                "lossless JPEG needs one interleaved scan over all components"
+            )
+        scan = scans[0]
+        if len(scan["segments"]) != 1:
+            raise NotImplementedError(
+                "restart intervals unsupported in lossless mode"
+            )
+        planes0 = [[[0] * width for _ in range(height)] for _ in comps]
+        _jpeg_lossless_scan(scan, planes0, width, height, prec)
+        samples = [
+            np.asarray(p, dtype=np.int64) << scan["al"] for p in planes0
+        ]
+        shift = prec - 8
+
+        def _to8(s):
+            if shift > 0:
+                return np.clip(s >> shift, 0, 255).astype(np.uint8)
+            if shift < 0:
+                return np.clip(s << (-shift), 0, 255).astype(np.uint8)
+            return np.clip(s, 0, 255).astype(np.uint8)
+
+        if len(samples) == 1:
+            px3 = np.repeat(_to8(samples[0])[:, :, None], 3, axis=2)
+        elif len(samples) == 3:
+            # lossless JPEG carries no YCbCr mandate: components are raw
+            px3 = np.stack([_to8(s) for s in samples], axis=2)
+        else:
+            raise NotImplementedError("1- or 3-component images only")
+        return {
+            "width": width,
+            "height": height,
+            "bpp": 8 if len(samples) == 1 else 24,
+            "pixels": px3,
+            "precision": prec,
+            "samples": samples,
+        }
     if not progressive:
         # a sequential image is one interleaved scan OR one
         # non-interleaved scan per component (T.81 allows any grouping;
@@ -2420,3 +2470,139 @@ def audio_spectral(
         "dom_ratio_pct int"
     )
     return df.select(id_col, media_col).mapInPandas(_batches, schema)
+
+
+def _jpeg_lossless_predict(
+    plane, x: int, y: int, predictor: int, default: int
+) -> int:
+    """T.81 H.1.2.1 prediction: the scan's first sample uses the
+    midpoint default, the rest of the first line uses Ra, the first
+    sample of every other line uses Rb, and interior samples use the
+    SOS-selected predictor 1-7 (>> is the spec's arithmetic shift)."""
+    if x == 0 and y == 0:
+        return default
+    if y == 0:
+        return plane[0][x - 1]
+    if x == 0:
+        return plane[y - 1][0]
+    a, b, c = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+    return {
+        1: a,
+        2: b,
+        3: c,
+        4: a + b - c,
+        5: a + ((b - c) >> 1),
+        6: b + ((a - c) >> 1),
+        7: (a + b) >> 1,
+    }[predictor]
+
+
+def _jpeg_lossless_scan(
+    scan: dict, planes, width: int, height: int, precision: int
+) -> None:
+    """Lossless (SOF3) scan decode: per sample, a DC-table Huffman
+    category + extend bits give the mod-65536 difference from the
+    prediction (SSSS=16 encodes 32768 with no extra bits). Components
+    interleave one sample per MCU (h=v=1 enforced by the caller);
+    restart intervals are refused by the caller (single segment)."""
+    predictor, pt = scan["ss"], scan["al"]
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    default = 1 << (precision - pt - 1)
+    rd = _BitReader(scan["segments"][0])
+    order = scan["order"]
+    for y in range(height):
+        for x in range(width):
+            for ci, _, _ in order:
+                t = _jpeg_huff_decode(rd, scan["dc"][ci])
+                if t > 16:
+                    raise ValueError(f"bad lossless category {t}")
+                diff = 32768 if t == 16 else _jpeg_extend(rd.receive(t), t)
+                px = _jpeg_lossless_predict(
+                    planes[ci], x, y, predictor, default
+                )
+                planes[ci][y][x] = (px + diff) % 65536
+
+
+def synth_jpeg_lossless(
+    width: int,
+    height: int,
+    sample_fn,
+    precision: int = 8,
+    predictor: int = 1,
+    pt: int = 0,
+    ncomp: int = 1,
+) -> bytes:
+    """Serialize ``sample_fn(x, y, c) -> int`` (values in
+    [0, 2**precision)) into a REAL lossless JPEG (T.81 process 14,
+    SOF3): one shared 17-category Huffman table, SOS carrying the
+    predictor in Ss and the point transform in Al, mod-65536
+    difference coding with byte stuffing. The whole point of the
+    format is EXACT round-trip — decode_jpeg returns the input
+    samples bit-for-bit (tests assert it), which is what lets the
+    ``multimodal_jpeg_lossless`` oracle recompute aggregates
+    analytically."""
+    import struct
+
+    dc_bits, dc_vals = _jpeg_huff_spec(list(range(17)), 5)
+    codes = _jpeg_huff_codes(dc_bits, dc_vals)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([predictor, 0, pt])
+    seg(0xDA, sos)
+
+    bitbuf: list[int] = [0, 0]
+
+    def put(code: int, n: int) -> None:
+        acc, nb = bitbuf
+        acc = (acc << n) | code
+        nb += n
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+        bitbuf[0], bitbuf[1] = acc, nb
+
+    default = 1 << (precision - pt - 1)
+    planes = [
+        [[(int(sample_fn(x, y, c)) >> pt) for x in range(width)]
+         for y in range(height)]
+        for c in range(ncomp)
+    ]
+    for y in range(height):
+        for x in range(width):
+            for c in range(ncomp):
+                px = _jpeg_lossless_predict(
+                    planes[c], x, y, predictor, default
+                )
+                diff = (planes[c][y][x] - px) % 65536
+                if diff >= 32768 and diff != 32768:
+                    diff -= 65536
+                if diff == 32768:
+                    put(*codes[16])
+                    continue
+                t = abs(diff).bit_length()
+                put(*codes[t])
+                if t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    put(v & ((1 << t) - 1), t)
+    if bitbuf[1]:
+        pad = 8 - bitbuf[1]
+        put((1 << pad) - 1, pad)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -1607,6 +1607,99 @@ WHERE rank <= 5
 """
 
 
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless JPEG decode (T.81 process 14 / SOF3 — the format
+    DNG and medical stacks emit; operators/multimodal:
+    synth_jpeg_lossless + decode_jpeg's lossless path): per document a
+    w×h image of hash-valued 12-bit samples is encoded with predictor
+    1 + doc_id % 7 and round-tripped; because the format is LOSSLESS
+    the decode returns the synth samples bit-for-bit, so the oracle
+    recomputes the sample sum / min / max / md5 of the raster order
+    ANALYTICALLY from the same md5-derived formula — a predictor,
+    Huffman, or difference-coding bug breaks the hash exactly. Arrow-
+    batched mapInPandas decode (the multimodal_jpeg pattern)."""
+    import pandas as pd
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_lossless,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def _synth(it):
+        import hashlib
+
+        for pdf in it:
+            out = {"doc_id": [], "image": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+
+                def sv(x, y, c, doc_id=doc_id):
+                    s = f"lj:{doc_id}:{x}:{y}"
+                    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 4096
+
+                blob = synth_jpeg_lossless(
+                    w, h, sv, precision=12,
+                    predictor=1 + doc_id % 7, ncomp=1,
+                )
+                out["doc_id"].append(doc_id)
+                out["image"].append(blob)
+            yield pd.DataFrame(out)
+
+    img = d.mapInPandas(_synth, "doc_id long, image binary")
+
+    def _decode(it):
+        for pdf in it:
+            rows = {"doc_id": [], "w": [], "h": [], "sum_s": [],
+                    "min_s": [], "max_s": [], "raster_md5": []}
+            for i, b in zip(pdf["doc_id"], pdf["image"]):
+                d2 = decode_jpeg(bytes(b))
+                s = d2["samples"][0]
+                rows["doc_id"].append(i)
+                rows["w"].append(d2["width"])
+                rows["h"].append(d2["height"])
+                rows["sum_s"].append(int(s.sum()))
+                rows["min_s"].append(int(s.min()))
+                rows["max_s"].append(int(s.max()))
+                import hashlib as hl
+                raster = " ".join(
+                    str(int(v)) for row in s for v in row
+                )
+                rows["raster_md5"].append(hl.md5(raster.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return img.mapInPandas(
+        _decode,
+        "doc_id long, w int, h int, sum_s long, min_s int, max_s int, "
+        "raster_md5 string",
+    )
+
+
+ORACLE_MULTIMODAL_JPEG_LOSSLESS = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h,
+         y, x,
+         {_md5i64_sql(
+             "concat('lj:', CAST(doc_id AS VARCHAR), ':', "
+             "CAST(x AS VARCHAR), ':', CAST(y AS VARCHAR))"
+         )} % 4096 AS v
+  FROM documents,
+       unnest(range(0, CAST(3 + doc_id % 4 AS INT))) AS ty(y),
+       unnest(range(0, CAST(4 + doc_id % 5 AS INT))) AS tx(x)
+)
+SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+       CAST(sum(v) AS BIGINT) AS sum_s,
+       CAST(min(v) AS INT) AS min_s,
+       CAST(max(v) AS INT) AS max_s,
+       md5(string_agg(CAST(v AS VARCHAR), ' ' ORDER BY y, x)) AS raster_md5
+FROM px GROUP BY doc_id
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FEATURE EXTRACTION (operators/multimodal.audio_spectral)
     — the spectral analog of the reference's per-clip feature pass
@@ -6864,6 +6957,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivfpq": (q_knn_ivfpq, _knn_ivfpq_oracle()),
     "knn_ivfpq_ivf": (q_knn_ivfpq_ivf, _knn_ivfpq_ivf_oracle()),
     "audio_spectral": (q_audio_spectral, ORACLE_AUDIO_SPECTRAL),
+    "multimodal_jpeg_lossless": (q_multimodal_jpeg_lossless,
+                                 ORACLE_MULTIMODAL_JPEG_LOSSLESS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),

@@ -1058,3 +1058,60 @@ def test_jpeg_16bit_quant_tables_parity():
         d8, d16 = decode_jpeg(j8), decode_jpeg(j16)
         assert (d8["pixels"] == d16["pixels"]).all()
         assert d8["bpp"] == d16["bpp"]
+
+
+def test_jpeg_lossless_roundtrip_fuzz():
+    """SOF3 lossless: randomized sizes, precisions (4/8/12/16),
+    predictors 1-7, point transforms, 1 and 3 components — decode must
+    return the encoded samples BIT-FOR-BIT (modulo the point
+    transform's deliberate low-bit drop, applied identically on both
+    sides)."""
+    import random
+
+    import numpy as np
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_lossless,
+    )
+
+    rng = random.Random(7)
+    for _ in range(25):
+        w, h = rng.randint(1, 13), rng.randint(1, 11)
+        prec = rng.choice([8, 8, 12, 16, 4])
+        pred = rng.randint(1, 7)
+        pt = rng.choice([0, 0, 1])
+        nc = rng.choice([1, 1, 3])
+        maxv = (1 << prec) - 1
+        vals = {
+            (x, y, c): rng.randint(0, maxv)
+            for x in range(w) for y in range(h) for c in range(nc)
+        }
+        blob = synth_jpeg_lossless(
+            w, h, lambda x, y, c: vals[(x, y, c)],
+            precision=prec, predictor=pred, pt=pt, ncomp=nc,
+        )
+        d = decode_jpeg(blob)
+        assert (d["width"], d["height"], d["precision"]) == (w, h, prec)
+        for c in range(nc):
+            exp = np.array(
+                [[(vals[(x, y, c)] >> pt) << pt for x in range(w)]
+                 for y in range(h)], dtype=np.int64)
+            assert (exp == d["samples"][c]).all()
+
+
+def test_jpeg_lossless_refusals():
+    """Restart intervals and sampled components are refused loudly,
+    not silently mis-decoded."""
+    import pytest as _pytest
+
+    from slowfast_feature_extractor_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_lossless,
+    )
+
+    blob = bytearray(synth_jpeg_lossless(4, 4, lambda x, y, c: x + y))
+    i = blob.find(b"\xff\xc3")
+    blob[i + 11] = 0x22  # sampling factors 2x2 on the only component
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
