@@ -1700,6 +1700,103 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STREAM-STREAM interval join — the one Structured Streaming
+    join shape the engine had not yet exercised (sessionize/dual-rate
+    are stateful single-input; warc ingest is stateless): the events
+    table splits into a 'starts' stream (even event ids) and an 'ends'
+    stream (odd ids), both watermarked at 2 hours, inner-joined on
+    user_id with b_ts in [a_ts, a_ts + 1 hour] — the
+    impression⨝click attribution query. Each side is staged as TWO
+    time-ordered files (maxFilesPerTrigger=1 → real multi-batch state
+    buffering and watermark-driven eviction between batches): because
+    arrival is event-time-ordered within the 2-hour watermark slack
+    and the join window is 1 hour, no needed state is ever evicted —
+    so the emitted matches equal the batch interval join EXACTLY and
+    the row hashes against a plain DuckDB join. Gap reported in exact
+    integer microseconds."""
+    import os
+    import tempfile
+
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ts")
+    base = tempfile.mkdtemp(prefix="sfe_sjoin_")
+    src_a = os.path.join(base, "src_a")
+    src_b = os.path.join(base, "src_b")
+    os.makedirs(src_a)
+    os.makedirs(src_b)
+    # time-split staging: order by ts, first half to file 0, rest to
+    # file 1 (replay machinery, not the operator — the global window
+    # here ranks the fixture once at build time)
+    ranked = ev.withColumn(
+        "half",
+        (F.percent_rank().over(Window.orderBy("ts", "event_id")) >= 0.5)
+        .cast("int"),
+    )
+    for half in (0, 1):
+        part = ranked.filter(F.col("half") == half).drop("half")
+        _stage_stream_file(
+            part.filter(F.col("event_id") % 2 == 0), src_a, base,
+            f"{half:02d}-starts",
+        )
+        _stage_stream_file(
+            part.filter(F.col("event_id") % 2 == 1), src_b, base,
+            f"{half:02d}-ends",
+        )
+    schema = "event_id long, user_id long, ts timestamp"
+    a = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts >= a_ts "
+            "AND b_ts <= a_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "a_id",
+        "b_id",
+        (epoch_us(F.col("b_ts")) - epoch_us(F.col("a_ts"))).alias("gap_us"),
+    )
+    out = _run_available_now(joined, base)
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_JOIN = """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_ts
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT user_id, event_id AS b_id, ts AS b_ts
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT a.user_id, a_id, b_id,
+       epoch_us(b_ts) - epoch_us(a_ts) AS gap_us
+FROM a JOIN b ON a.user_id = b.user_id
+             AND b.b_ts >= a.a_ts
+             AND b.b_ts <= a.a_ts + INTERVAL 1 HOUR
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FEATURE EXTRACTION (operators/multimodal.audio_spectral)
     — the spectral analog of the reference's per-clip feature pass
@@ -6959,6 +7056,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "audio_spectral": (q_audio_spectral, ORACLE_AUDIO_SPECTRAL),
     "multimodal_jpeg_lossless": (q_multimodal_jpeg_lossless,
                                  ORACLE_MULTIMODAL_JPEG_LOSSLESS),
+    "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),

@@ -35,6 +35,7 @@ _EXECUTES_IN_BUILDER = {
     "dedup_streamed",       # runs an availableNow streaming query
     "dual_rate_streamed",   # runs an availableNow streaming query
     "warc_streamed",        # runs an availableNow streaming query
+    "stream_join",          # runs an availableNow streaming query
     "dedup_clusters",       # iterative label propagation (count per round)
     "dedup_clusters_star",  # iterative star contraction (count per round)
     "knn_ivf",              # kmeans fit collects sampled centroids
