@@ -1797,6 +1797,115 @@ FROM a JOIN b ON a.user_id = b.user_id
 """
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007),
+    fully relational and REPRODUCIBLE, with the exact count alongside:
+    per source, token hashes split into 1024 registers (low 10 bits)
+    and a 50-bit rank window; each register keeps max(rho). The
+    harmonic-mean denominator is accumulated as the EXACT INTEGER
+    sum of 2^(50-rho) (every term a dyadic ≤ 2^50, 1024 terms fit
+    int64) so no float addition order can wobble the estimate — the
+    only doubles are one division and the small-range linear-counting
+    branch, rounded to 3 dp. At 100 TB this is the mergeable
+    distinct-count that replaces count(DISTINCT) in every dashboard:
+    register maxes partial-aggregate map-side, the merge is max, and
+    the final state is 1024 ints per group. The exact count rides
+    along so the driver hash also pins the estimate's error."""
+    m = 1024
+    d = _docs(spark, sf_dir)
+    # 3-gram shingles, not unigrams: the fixture vocabulary is ~30
+    # tokens per source (always linear-counting), shingle cardinality
+    # is ~10^3 per source so BOTH estimator branches execute
+    toks = d.select(
+        "source", F.explode(TS.shingles(F.col("text"), 3)).alias("w")
+    ).select("source", DD.md5i64(F.col("w")).alias("h"))
+    regs = toks.select(
+        "source",
+        (F.col("h") % m).alias("reg"),
+        F.shiftright("h", 10).alias("w2"),
+    ).select(
+        "source",
+        "reg",
+        F.when(F.col("w2") == 0, F.lit(51))
+        .otherwise(F.lit(51) - F.length(F.expr("bin(w2)")))
+        .alias("rho"),
+    )
+    per_reg = regs.groupBy("source", "reg").agg(F.max("rho").alias("mj"))
+    agg = per_reg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("mj")).cast("long"))
+        .cast("long")
+        .alias("sum_present"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("h").cast("long").alias("exact_distinct")
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    sum_scaled = F.col("sum_present") + zeros.cast("long") * F.lit(1 << 50)
+    # single precomputed double numerator: alpha * m^2 * 2^50 — both
+    # engines then perform ONE division, so no multiply-order drift
+    e_raw = F.lit(_HLL_NUMERATOR) / sum_scaled
+    est = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.join(exact, "source").select(
+        "source",
+        "n_regs",
+        zeros.cast("int").alias("zeros"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(est, 3).alias("est_hll"),
+        "exact_distinct",
+    )
+
+
+_HLL_NUMERATOR = 0.7213 / (1 + 1.079 / 1024) * 1024 * 1024 * float(1 << 50)
+
+
+ORACLE_DISTINCT_SKETCH = f"""
+WITH t AS (
+  SELECT source,
+         {_md5i64_sql("w")} AS h
+  FROM (SELECT source,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS w
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
+), r AS (
+  SELECT source, h % 1024 AS reg,
+         CASE WHEN h // 1024 = 0 THEN 51
+              ELSE 51 - length(bin(h // 1024)) END AS rho
+  FROM t
+), pr AS (
+  SELECT source, reg, max(rho) AS mj FROM r GROUP BY source, reg
+), a AS (
+  SELECT source, CAST(count(*) AS INT) AS n_regs,
+         CAST(sum(CAST(2.0 ** (50 - mj) AS BIGINT)) AS BIGINT)
+             AS sum_present
+  FROM pr GROUP BY source
+), x AS (
+  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+  FROM t GROUP BY source
+)
+SELECT a.source, n_regs,
+       CAST(1024 - n_regs AS INT) AS zeros,
+       sum_present + CAST(1024 - n_regs AS BIGINT) * {1 << 50} AS sum_scaled,
+       round(CASE WHEN ({_HLL_NUMERATOR!r}
+                        / (sum_present
+                           + CAST(1024 - n_regs AS BIGINT) * {1 << 50}))
+                  <= 2560.0 AND n_regs < 1024
+             THEN 1024.0 * ln(1024.0 / (1024 - n_regs))
+             ELSE ({_HLL_NUMERATOR!r}
+                   / (sum_present
+                      + CAST(1024 - n_regs AS BIGINT) * {1 << 50}))
+             END, 3) AS est_hll,
+       exact_distinct
+FROM a JOIN x ON x.source = a.source
+"""
+
+
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio FEATURE EXTRACTION (operators/multimodal.audio_spectral)
     — the spectral analog of the reference's per-clip feature pass
@@ -7057,6 +7166,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_jpeg_lossless": (q_multimodal_jpeg_lossless,
                                  ORACLE_MULTIMODAL_JPEG_LOSSLESS),
     "stream_join": (q_stream_join, ORACLE_STREAM_JOIN),
+    "distinct_sketch": (q_distinct_sketch, ORACLE_DISTINCT_SKETCH),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "boilerplate_filter": (q_boilerplate_filter, ORACLE_BOILERPLATE_FILTER),
