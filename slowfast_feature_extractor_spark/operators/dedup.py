@@ -257,6 +257,77 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Directed shingle-containment near-dup pairs: C(src→dst) =
+    |S(src) ∩ S(dst)| / |S(src)| ≥ threshold.
+
+    The asymmetric companion to :func:`jaccard_pairs` — a short quote
+    page is CONTAINED in the article it quotes even when their Jaccard
+    is tiny, which is exactly the snippet/aggregator case symmetric
+    dedup misses. Same sub-quadratic shape: inverted-index candidate
+    generation (shared-shingle merge join with the df skew cap), one
+    intersection count per unordered pair, then BOTH directions scored
+    from the single count by exploding a 2-array — no second pass over
+    the index.
+    """
+    sh = shingle_table(df, id_col, text_col, n, hash_fn)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # merge join pinned for the same spill-safety reasons as
+    # jaccard_pairs (see the comment there)
+    inter = (
+        a.hint("merge").join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id_src"),
+                        F.col("id_b").alias("id_dst"),
+                        F.round(
+                            F.col("inter").cast("double") / F.col("sz_a"), 6
+                        ).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_src"),
+                        F.col("id_a").alias("id_dst"),
+                        F.round(
+                            F.col("inter").cast("double") / F.col("sz_b"), 6
+                        ).alias("containment"),
+                    ),
+                )
+            ).alias("p")
+        )
+    )
+    return both.select("p.id_src", "p.id_dst", "p.containment").filter(
+        F.col("containment") >= threshold
+    )
+
+
 def _salted_hash(shingle: Column, i: int, hash_fn: str) -> Column:
     """The i-th MinHash permutation proxy: hash the (salt, shingle-hash)
     pair to a fresh int64. md5 mode salts by string-prefixing (portable

@@ -37,6 +37,43 @@ def test_jaccard_pairs(docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_containment_asymmetric(spark):
+    """A snippet fully contained in a long article scores 1.0 in the
+    snippet→article direction while its Jaccard (and the reverse
+    containment) stays low — the aggregator/quote case symmetric dedup
+    misses."""
+    article = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    snippet = "eta theta iota kappa lambda"  # 5 tokens -> 3 shingles, all in article
+    df = spark.createDataFrame(
+        [(1, article), (2, snippet)], schema="doc_id long, text string"
+    )
+    out = {
+        (r.id_src, r.id_dst): r.containment
+        for r in DD.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert out[(2, 1)] == 1.0  # snippet ⊂ article
+    assert (1, 2) not in out  # article is NOT contained in the snippet
+    # the same pair under Jaccard: 3 shared / 18 union ≈ 0.167 — invisible
+    j = {(r.id_a, r.id_b) for r in DD.jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) not in j
+
+
+def test_containment_directions_from_one_count(docs):
+    """Exact dups contain each other (both directions emitted); the
+    near-dup pair scores |∩|/|src| per direction."""
+    out = {
+        (r.id_src, r.id_dst): r.containment
+        for r in DD.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert out[(1, 2)] == 1.0 and out[(2, 1)] == 1.0
+    # 1 vs 3: 8 shingles each, 6 shared -> 0.75 both ways
+    assert out[(1, 3)] == pytest.approx(0.75, abs=1e-6)
+    assert out[(3, 1)] == pytest.approx(0.75, abs=1e-6)
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     out = {(r.id_a, r.id_b): r.jaccard for r in
            DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3).collect()}

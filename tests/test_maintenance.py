@@ -1,0 +1,105 @@
+"""Edge semantics of the table-maintenance operators
+(operators/maintenance.py): CDC merge actions, SCD2 interval
+boundaries, compaction bin boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from slowfast_feature_extractor_spark.operators import maintenance as MT
+
+
+def _ts(day: int, hour: int = 0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cdc_merge_actions(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two upserts — latest (day 2) wins
+            (1, _ts(1), 100, "U", 11.0),
+            (1, _ts(2), 101, "U", 12.0),
+            # k=2: delete tombstone
+            (2, _ts(1), 102, "D", None),
+            # k=4: new key insert
+            (4, _ts(1), 103, "U", 40.0),
+            # k=5: tombstone for a key not in base (no-op delete)
+            (5, _ts(1), 104, "D", None),
+            # k=3 untouched -> unchanged
+        ],
+        "k long, ts timestamp, eid long, op string, v double",
+    )
+    out = {
+        r["k"]: (r["v"], r["action"])
+        for r in MT.cdc_merge(base, changes, ["k"], ["ts", "eid"]).collect()
+    }
+    assert out[1] == (12.0, "update")
+    assert out[2] == (None, "delete")
+    assert out[3] == (30.0, "unchanged")
+    assert out[4] == (40.0, "insert")
+    assert out[5] == (None, "delete")
+
+
+def test_cdc_merge_same_ts_tiebreak(spark):
+    """Equal timestamps: the unique tiebreaker (eid) decides, so the
+    compaction is deterministic."""
+    base = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, _ts(1), 5, "U", 5.0), (1, _ts(1), 9, "U", 9.0)],
+        "k long, ts timestamp, eid long, op string, v double",
+    )
+    [row] = MT.cdc_merge(base, changes, ["k"], ["ts", "eid"]).collect()
+    assert (row["v"], row["action"]) == (9.0, "update")
+
+
+def test_scd2_interval_boundaries(spark):
+    changes = spark.createDataFrame(
+        [(1, _ts(1), 100, 1.0), (1, _ts(3), 101, 2.0), (2, _ts(2), 102, 5.0)],
+        "k long, ts timestamp, eid long, v double",
+    )
+    hist = MT.scd2_intervals(changes, ["k"], "ts", "eid", ["v"])
+    rows = {(r["k"], r["version"]): r for r in hist.collect()}
+    assert rows[(1, 1)]["valid_to"] == _ts(3)
+    assert rows[(1, 2)]["valid_to"] is None
+    assert rows[(1, 2)]["n_versions"] == 2
+
+    # snapshot exactly AT a version start includes it (valid_from <= T);
+    # exactly AT valid_to excludes the closed version (valid_to > T fails)
+    snap = MT.scd2_snapshot(hist, _ts(3))
+    got = {(r["k"], r["v"]) for r in snap.collect()}
+    assert got == {(1, 2.0), (2, 5.0)}
+
+    # before any version for k=2's start but inside k=1 v1
+    snap0 = MT.scd2_snapshot(hist, _ts(1, 12))
+    assert {(r["k"], r["v"]) for r in snap0.collect()} == {(1, 1.0)}
+
+
+def test_compaction_plan_bin_boundary(spark):
+    """A file joins the bin holding its cumulative predecessor bytes, so
+    a bin fills past target before the next opens."""
+    files = spark.createDataFrame(
+        [("p", i, sz) for i, sz in enumerate([3000, 3000, 3000, 500])],
+        "part string, fid long, sz long",
+    )
+    out = {
+        r["bin_id"]: (r["n_files"], r["bytes"], r["first_file"], r["last_file"])
+        for r in MT.compaction_plan(files, ["part"], "fid", "sz", 4000).collect()
+    }
+    # cum_before: 0, 3000, 6000, 9000 -> bins 0, 0, 1, 2
+    assert out[0] == (2, 6000, 0, 1)
+    assert out[1] == (1, 3000, 2, 2)
+    assert out[2] == (1, 500, 3, 3)
+
+
+def test_compaction_plan_partition_isolation(spark):
+    """Bins never span table partitions."""
+    files = spark.createDataFrame(
+        [("a", 0, 100), ("b", 1, 100)], "part string, fid long, sz long"
+    )
+    out = MT.compaction_plan(files, ["part"], "fid", "sz", 4000)
+    assert out.filter(F.col("bin_id") == 0).count() == 2
