@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_merge", "scd2_intervals", "scd2_snapshot", "compaction_plan"]
+__all__ = [
+    "cdc_merge",
+    "scd2_intervals",
+    "scd2_snapshot",
+    "compaction_plan",
+    "zorder_key",
+    "zorder_layout",
+]
 
 
 def _latest_per_key(
@@ -178,4 +185,65 @@ def compaction_plan(
         F.sum(size_col).cast("bigint").alias("bytes"),
         F.min(file_col).alias("first_file"),
         F.max(file_col).alias("last_file"),
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative int
+    dimensions: z = …y₁x₁y₀x₀ with x in the odd bit positions. Pure
+    JVM bit arithmetic — codegen-friendly, no UDF.
+
+    Rows sorted by z are clustered in BOTH dimensions at once, which is
+    what lets a min/max-pruning reader (Iceberg/parquet row groups) skip
+    files for predicates on either column. The engine-side analog of
+    Iceberg's ``rewrite_data_files(strategy => 'sort', sort_order =>
+    'zorder(a, b)')``.
+    """
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """The identical Morton interleave as ANSI SQL text (oracle replay)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_layout(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 8,
+    rows_per_file_shift: int = 6,
+) -> DataFrame:
+    """Plan a Z-order file layout and report its pruning tightness.
+
+    Assigns each row to file ``z >> rows_per_file_shift`` (contiguous
+    z-ranges, i.e. what a sort-by-z write produces), then emits the
+    per-file min/max of both dimensions — exactly the column stats a
+    manifest stores and a scan prunes on. Tight spans (max-min small in
+    both x and y) are the whole point of Z-order vs a single-column
+    sort, where the second dimension's span per file is the full domain.
+
+    One shuffle (the groupBy); at 10^12 rows this is the layout-planning
+    pass of a table rewrite, map-side combined to file-count rows.
+    """
+    z = zorder_key(x, y, bits)
+    return (
+        df.select(x.alias("__x"), y.alias("__y"), z.alias("__z"))
+        .groupBy(F.shiftright(F.col("__z"), rows_per_file_shift).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("min_x"),
+            F.max("__x").alias("max_x"),
+            F.min("__y").alias("min_y"),
+            F.max("__y").alias("max_y"),
+        )
     )

@@ -7297,6 +7297,156 @@ SELECT id_src, id_dst, containment FROM scored WHERE containment >= 0.5
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planning over events on (user bucket,
+    day-of-year): interleave the two dimensions' bits JVM-side
+    (``maintenance.zorder_key`` — pure codegen arithmetic, no UDF),
+    assign contiguous z-ranges to files, and emit each file's min/max
+    column stats — the manifest entries a scan prunes on. The win over
+    a single-column sort: BOTH dimensions get tight per-file spans, so
+    predicates on either column skip files. One map-side-combined
+    groupBy; at 10^12 rows this is the layout pass of an Iceberg
+    ``rewrite_data_files(sort_order => zorder(...))``."""
+    ev = _ev(spark, sf_dir)
+    x = (F.col("user_id") % 256).cast("long")
+    y = (F.dayofyear("ts") % 256).cast("long")
+    out = MT.zorder_layout(ev, x, y, bits=8, rows_per_file_shift=6)
+    return out.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        "n_rows",
+        F.col("min_x").cast("long").alias("min_x"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.col("min_y").cast("long").alias("min_y"),
+        F.col("max_y").cast("long").alias("max_y"),
+    )
+
+
+def _zorder_oracle() -> str:
+    z = MT.zorder_key_sql("x", "y", bits=8)
+    return f"""
+WITH dims AS (
+  SELECT CAST(user_id % 256 AS BIGINT) AS x,
+         CAST(dayofyear(ts) % 256 AS BIGINT) AS y
+  FROM events
+),
+keyed AS (SELECT x, y, ({z}) AS z FROM dims)
+SELECT CAST(z >> 6 AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM keyed GROUP BY 1
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → (df, total tf, sorted posting list)
+    — the retrieval-side artifact of a web corpus (bm25_topk scores
+    against exactly this structure). High-df terms are dropped BEFORE
+    posting-list materialization (df-filter on the already-reduced
+    term×doc table, the standard stopword-pruning order), so no
+    stopword's corpus-wide posting list is ever assembled — the skew
+    guard that makes the build survive 100 TB. Posting lists serialize
+    as comma-joined sorted ids: deterministic, and the compare hashes
+    strings instead of engine-specific array encodings."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(TS.tokens(F.col("text")), lambda x: x.rlike("^[a-z]+$"))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("term")
+    )
+    return (
+        tf.join(keep, "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+    )
+
+
+ORACLE_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         x -> x <> '' AND regexp_matches(x, '^[a-z]+$'))) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+),
+keep AS (
+  SELECT term FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 50
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM tf JOIN keep USING (term)
+GROUP BY term
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → overlapping training windows: 40-token chunks at
+    stride 32 (8-token overlap), one row per chunk with its position —
+    the doc-to-example conversion feeding ``sequence_pack``. The token
+    array is materialized behind a projection alias and referenced by
+    both size() and slice() (the multiply-referenced-alias barrier of
+    NOTES #12, so the split never re-evaluates per chunk);
+    ``explode_outer`` keeps ``InferFiltersFromGenerate`` from
+    re-inlining the tokenizer into a scan-level filter (NOTES #13).
+    Map-only — chunking shuffles nothing; every doc, even empty, yields
+    its chunk 0 so downstream accounting sees the full corpus."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", TS.tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(32)
+    )
+    ch = base.select(
+        "doc_id", "toks", "n", F.explode_outer(starts).alias("start")
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start") / 32).cast("int").alias("chunk_id"),
+        F.array_join(F.slice("toks", F.col("start") + 1, F.lit(40)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.col("n") - F.col("start"), F.lit(40))
+        .cast("int")
+        .alias("chunk_len"),
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+ch AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS start
+  FROM sized
+)
+SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 40), ' ')
+         AS chunk_text,
+       CAST(least(n - start, 40) AS INT) AS chunk_len
+FROM ch
+"""
+
+
 # The driver's correctness gate caps at 50 rows, and dict order decides
 # who is in it. r6 rotation: the two rows whose last green is r3 lead
 # (sacrificed by r5's cap, as planned there), then rows never hash-
@@ -7354,6 +7504,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_snapshot": (q_asof_snapshot, ORACLE_ASOF_SNAPSHOT),
     "compaction_plan": (q_compaction_plan, ORACLE_COMPACTION_PLAN),
     "dedup_containment": (q_dedup_containment, ORACLE_DEDUP_CONTAINMENT),
+    "zorder_layout": (q_zorder_layout, _zorder_oracle()),
+    "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
+    "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),

@@ -103,3 +103,58 @@ def test_compaction_plan_partition_isolation(spark):
     )
     out = MT.compaction_plan(files, ["part"], "fid", "sz", 4000)
     assert out.filter(F.col("bin_id") == 0).count() == 2
+
+
+def test_zorder_key_interleave(spark):
+    """z interleaves bits with x odd / y even: (x=3, y=1) ->
+    x bits at positions 1,3 -> 0b1010; y bit at position 0 -> 0b0001;
+    z = 0b1011 = 11."""
+    df = spark.createDataFrame([(3, 1), (0, 0), (255, 255)], "x long, y long")
+    out = [
+        r[0]
+        for r in df.select(
+            MT.zorder_key(F.col("x"), F.col("y"), bits=8)
+        ).collect()
+    ]
+    assert out == [11, 0, 65535]
+
+
+def test_zorder_sql_matches_jvm(spark):
+    """The SQL replay of the Morton interleave is bit-identical to the
+    JVM column expression on a dense sample."""
+    import duckdb
+
+    pts = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    jvm = sorted(
+        tuple(r)
+        for r in df.select(
+            "x", "y", MT.zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    )
+    z = MT.zorder_key_sql("x", "y", 8)
+    sql = sorted(
+        duckdb.connect()
+        .execute(
+            f"SELECT x, y, ({z}) AS z FROM (SELECT unnest($pts_x) x, unnest($pts_y) y)",
+            {"pts_x": [p[0] for p in pts], "pts_y": [p[1] for p in pts]},
+        )
+        .fetchall()
+    )
+    assert jvm == sql
+
+
+def test_zorder_layout_tightness(spark):
+    """On a dense 16x16 grid, z-order files (4 rows each) have span <= 1
+    in BOTH dims; a single-column sort layout leaves the other dim's
+    span at the full domain."""
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    out = MT.zorder_layout(
+        df, F.col("x"), F.col("y"), bits=4, rows_per_file_shift=2
+    ).collect()
+    assert len(out) == 64  # 256 rows / 4 per file
+    for r in out:
+        assert r["n_rows"] == 4
+        assert r["max_x"] - r["min_x"] <= 1
+        assert r["max_y"] - r["min_y"] <= 1
