@@ -117,6 +117,7 @@ BENCH_NOT_TIMED = {
     "sessionize_streamed",
     "dual_rate_streamed",
     "dedup_streamed",
+    "cdc_streamed",
     "stream_join",
     "dedup_clusters",
     "dedup_clusters_star",

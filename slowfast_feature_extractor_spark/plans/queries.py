@@ -7447,6 +7447,71 @@ FROM ch
 """
 
 
+def q_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STREAMING CDC upsert: the events change log (purchase =
+    delete tombstone, else upsert — same encoding as ``cdc_merge``)
+    replayed as two time-ordered file-stream micro-batches through
+    ``streaming/cdc_stream.apply_cdc_stream`` — a foreachBatch fold
+    that MERGEs each batch into a VERSIONED state table (immutable
+    ``v{batch_id}`` commits; crash-replay of a batch folds into the
+    same predecessor version, the Iceberg idempotent-commit contract).
+    Final state = latest non-deleted value per key, whatever the batch
+    boundaries: per-batch latest-per-key compaction composed over
+    time-ordered batches equals the global latest-per-key, so the
+    DuckDB oracle is one window over the whole log."""
+    import os
+    import tempfile
+
+    from slowfast_feature_extractor_spark.streaming.cdc_stream import (
+        apply_cdc_stream,
+        read_state,
+    )
+
+    log = _cdc_log(spark, sf_dir)
+    t = F.lit(_CDC_T).cast("timestamp")
+    base = tempfile.mkdtemp(prefix="sfe_cdcstream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    _stage_stream_file(log.filter(F.col("ts") < t), src, base, "00-history")
+    _stage_stream_file(log.filter(F.col("ts") >= t), src, base, "01-tail")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, op string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir = os.path.join(base, "state")
+    apply_cdc_stream(
+        stream,
+        state_dir,
+        os.path.join(base, "ckpt"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["value"],
+    )
+    return read_state(spark, state_dir).select("user_id", "value")
+
+
+ORACLE_CDC_STREAMED = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         round(value, 6) AS value
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log)
+  WHERE rn = 1
+)
+SELECT user_id, value FROM latest WHERE op <> 'D'
+"""
+
+
 # The driver's correctness gate caps at 50 rows, and dict order decides
 # who is in it. r6 rotation: the two rows whose last green is r3 lead
 # (sacrificed by r5's cap, as planned there), then rows never hash-
@@ -7507,6 +7572,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_layout": (q_zorder_layout, _zorder_oracle()),
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+    "cdc_streamed": (q_cdc_streamed, ORACLE_CDC_STREAMED),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),

@@ -158,3 +158,58 @@ def test_zorder_layout_tightness(spark):
         assert r["n_rows"] == 4
         assert r["max_x"] - r["min_x"] <= 1
         assert r["max_y"] - r["min_y"] <= 1
+
+
+def test_cdc_stream_versions_and_restart(spark, tmp_path):
+    """The foreachBatch fold commits one immutable version per batch;
+    re-running the drained stream with the same checkpoint processes
+    nothing (restart safety), and a crash-replay of the last batch
+    (same id, rewound checkpoint) folds into the same predecessor and
+    reproduces the same state (idempotent commit)."""
+    import shutil
+
+    from slowfast_feature_extractor_spark.streaming import cdc_stream as CS
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b0 = spark.createDataFrame(
+        [(1, _ts(1), 100, "U", 1.0), (2, _ts(1), 101, "U", 2.0)],
+        "k long, ts timestamp, eid long, op string, v double",
+    )
+    b1 = spark.createDataFrame(
+        [(1, _ts(2), 102, "U", 9.0), (2, _ts(2), 103, "D", None)],
+        "k long, ts timestamp, eid long, op string, v double",
+    )
+    b0.coalesce(1).write.parquet(str(tmp_path / "t0"))
+    b1.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    for i in (0, 1):
+        part = next((tmp_path / f"t{i}").glob("*.parquet"))
+        shutil.move(str(part), str(src / f"0{i}.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "k long, ts timestamp, eid long, op string, v double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        CS.apply_cdc_stream(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            key_cols=["k"], order_cols=["ts", "eid"], value_cols=["v"],
+        )
+
+    run()
+    state_dir = str(tmp_path / "state")
+    assert CS.latest_state_version(state_dir) == 1
+    final = {r["k"]: r["v"] for r in CS.read_state(spark, state_dir).collect()}
+    assert final == {1: 9.0}  # k=2 deleted by the tombstone
+
+    # drained restart: same checkpoint, no new files -> no new version
+    run()
+    assert CS.latest_state_version(state_dir) == 1
+
+    # crash-replay of batch 1: predecessor selection (before=1) ignores
+    # the already-committed v1, so refolding b1 reproduces it exactly
+    pre = CS.read_state(spark, state_dir, before=1)
+    assert {r["k"]: r["v"] for r in pre.collect()} == {1: 1.0, 2: 2.0}
