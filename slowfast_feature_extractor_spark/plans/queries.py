@@ -7339,15 +7339,19 @@ FROM keyed GROUP BY 1
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build: term → (df, total tf, sorted posting list)
-    — the retrieval-side artifact of a web corpus (bm25_topk scores
-    against exactly this structure). High-df terms are dropped BEFORE
-    posting-list materialization (df-filter on the already-reduced
-    term×doc table, the standard stopword-pruning order), so no
-    stopword's corpus-wide posting list is ever assembled — the skew
-    guard that makes the build survive 100 TB. Posting lists serialize
-    as comma-joined sorted ids: deterministic, and the compare hashes
-    strings instead of engine-specific array encodings."""
+    """Inverted-index build: term → (exact df, exact total tf, posting
+    list truncated to the first 20 doc ids) — the retrieval-side
+    artifact of a web corpus (bm25_topk scores against exactly this
+    structure). Exact stats come from the map-side-combinable counts
+    over the full term×doc table; the POSTING LIST goes through the
+    rank≤k filter that compiles to WindowGroupLimit, so each map task
+    pre-prunes to its local top-20 BEFORE the shuffle and no
+    stopword's corpus-wide posting list is ever assembled — the
+    truncated (impact-ordered-index-style) head plus exact counts is
+    what early-termination retrieval actually stores at scale.
+    Postings serialize as comma-joined sorted ids: deterministic, and
+    the compare hashes strings instead of engine-specific array
+    encodings."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
@@ -7356,23 +7360,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    keep = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
-        .select("term")
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
     )
-    return (
-        tf.join(keep, "term")
+    w = Window.partitionBy("term").orderBy("doc_id")
+    posts = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
         .groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("tf_total"),
             F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
                 "postings"
-            ),
+            )
         )
     )
+    return stats.join(posts, "term").select("term", "df", "tf_total", "postings")
 
 
 ORACLE_INVERTED_INDEX = """
@@ -7384,14 +7386,23 @@ WITH toks AS (
 tf AS (
   SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
 ),
-keep AS (
-  SELECT term FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 50
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY term
+),
+top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tf)
+  WHERE rn <= 20
+),
+posts AS (
+  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM top GROUP BY term
 )
-SELECT term, CAST(count(*) AS BIGINT) AS df,
-       CAST(sum(tf) AS BIGINT) AS tf_total,
-       array_to_string(list_sort(list(doc_id)), ',') AS postings
-FROM tf JOIN keep USING (term)
-GROUP BY term
+SELECT term, df, tf_total, postings FROM stats JOIN posts USING (term)
 """
 
 
