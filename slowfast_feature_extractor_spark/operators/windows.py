@@ -199,3 +199,47 @@ def backfill(
     for c in cols:
         out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(frame))
     return out
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Split each row's token array into overlapping fixed-size windows
+    — the doc→training-example conversion (W4 contiguous-span sampling
+    applied corpus-wide; feeds ``sequence_pack``).
+
+    ``tokens_col`` is a Column producing the token array. It is
+    materialized behind a projection alias referenced by both size()
+    and slice() (multiply-referenced expensive aliases block
+    CollapseProject — NOTES #12), and the chunk starts are generated
+    with ``explode_outer`` so InferFiltersFromGenerate cannot re-inline
+    the tokenizer into a scan filter (NOTES #13): the tokenizer runs
+    exactly once per row. Map-only, zero shuffles; every row — even an
+    empty one — yields its chunk 0 so downstream accounting sees the
+    full corpus.
+
+    Output: id_col, chunk_id, chunk (array slice), chunk_len.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    base = df.select(F.col(id_col), tokens_col.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    ch = base.select(
+        id_col, "__toks", "__n", F.explode_outer(starts).alias("__start")
+    )
+    return ch.select(
+        id_col,
+        (F.col("__start") / stride).cast("int").alias("chunk_id"),
+        F.slice("__toks", F.col("__start") + 1, F.lit(window)).alias("chunk"),
+        F.least(F.col("__n") - F.col("__start"), F.lit(window))
+        .cast("int")
+        .alias("chunk_len"),
+    )

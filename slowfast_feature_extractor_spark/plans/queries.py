@@ -7417,25 +7417,17 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inlining the tokenizer into a scan-level filter (NOTES #13).
     Map-only — chunking shuffles nothing; every doc, even empty, yields
     its chunk 0 so downstream accounting sees the full corpus."""
+    from slowfast_feature_extractor_spark.operators.windows import chunk_tokens
+
     d = _docs(spark, sf_dir)
-    base = d.select(
-        "doc_id", TS.tokens(F.col("text")).alias("toks")
-    ).select("doc_id", "toks", F.size("toks").alias("n"))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(32)
-    )
-    ch = base.select(
-        "doc_id", "toks", "n", F.explode_outer(starts).alias("start")
+    ch = chunk_tokens(
+        d, "doc_id", TS.tokens(F.col("text")), window=40, stride=32
     )
     return ch.select(
         "doc_id",
-        (F.col("start") / 32).cast("int").alias("chunk_id"),
-        F.array_join(F.slice("toks", F.col("start") + 1, F.lit(40)), " ").alias(
-            "chunk_text"
-        ),
-        F.least(F.col("n") - F.col("start"), F.lit(40))
-        .cast("int")
-        .alias("chunk_len"),
+        "chunk_id",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        "chunk_len",
     )
 
 

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from slowfast_feature_extractor_spark.operators.maintenance import cdc_merge
 
-__all__ = ["apply_cdc_stream", "latest_state_version", "read_state"]
+__all__ = [
+    "apply_cdc_stream",
+    "latest_state_version",
+    "read_state",
+    "expire_versions",
+]
 
 _V_RE = re.compile(r"^v(\d+)$")
 
@@ -65,6 +70,33 @@ def read_state(
     if v is None:
         return None
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def expire_versions(state_dir: str, keep_last: int) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions (Iceberg ``expire_snapshots``). The latest version is
+    never expirable (keep_last >= 1 enforced) because crash-replay of
+    an uncommitted batch folds into it. Returns the expired ids.
+
+    At real table scale expiry also means deleting data files no live
+    snapshot references; here a version directory IS its file set, so
+    removing the directory is exactly that orphan-file sweep.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return []
+    vs = sorted(
+        int(m.group(1))
+        for m in (_V_RE.match(d) for d in os.listdir(state_dir))
+        if m
+    )
+    expired = vs[:-keep_last]
+    for v in expired:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    return expired
 
 
 def apply_cdc_stream(

@@ -213,3 +213,27 @@ def test_cdc_stream_versions_and_restart(spark, tmp_path):
     # the already-committed v1, so refolding b1 reproduces it exactly
     pre = CS.read_state(spark, state_dir, before=1)
     assert {r["k"]: r["v"] for r in pre.collect()} == {1: 1.0, 2: 2.0}
+
+
+def test_expire_versions(spark, tmp_path):
+    """Retention keeps the newest K versions; the latest is never
+    expirable; expiry of everything-but-latest leaves state readable."""
+    import pytest as _pytest
+
+    from slowfast_feature_extractor_spark.streaming import cdc_stream as CS
+
+    state = tmp_path / "state"
+    for v in (0, 1, 2):
+        spark.createDataFrame([(v,)], "k long").write.parquet(
+            str(state / f"v{v}")
+        )
+    with _pytest.raises(ValueError):
+        CS.expire_versions(str(state), 0)
+    assert CS.expire_versions(str(state), 2) == [0]
+    assert CS.latest_state_version(str(state)) == 2
+    assert CS.expire_versions(str(state), 1) == [1]
+    [row] = CS.read_state(spark, str(state)).collect()
+    assert row["k"] == 2
+    # idempotent on an already-trimmed dir; empty dir is a no-op
+    assert CS.expire_versions(str(state), 1) == []
+    assert CS.expire_versions(str(tmp_path / "nope"), 3) == []

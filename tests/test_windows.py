@@ -144,3 +144,36 @@ def test_span_sample_semantics(spark):
     ).first().p
     assert got_start == [0, 2, 4, 6, 8, 10, 12, 14]
     assert got_end == [84, 86, 88, 90, 92, 94, 96, 98]
+
+
+def test_chunk_tokens_edges(spark):
+    """Overlap/boundary semantics: window 4 stride 3 over 10 tokens ->
+    chunks at 0,3,6,9 (last is a 1-token tail); empty docs yield chunk 0
+    with len 0; a doc shorter than one window yields a single short
+    chunk."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.windows import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, ""),
+            (3, "x y"),
+        ],
+        "id long, text string",
+    )
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    out = {
+        (r["id"], r["chunk_id"]): (r["chunk"], r["chunk_len"])
+        for r in chunk_tokens(df, "id", toks, window=4, stride=3).collect()
+    }
+    assert out[(1, 0)] == (["a", "b", "c", "d"], 4)
+    assert out[(1, 1)] == (["d", "e", "f", "g"], 4)  # 1-token overlap
+    assert out[(1, 3)] == (["j"], 1)  # tail chunk, truncated
+    assert out[(2, 0)] == ([], 0)  # empty doc still emits chunk 0
+    assert out[(3, 0)] == (["x", "y"], 2)
+    assert len(out) == 6
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, "id", toks, window=0, stride=3)
