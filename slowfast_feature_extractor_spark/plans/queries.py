@@ -7521,13 +7521,14 @@ SELECT user_id, value FROM latest WHERE op <> 'D'
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 103 rows a 50-cap
-# leaves 5 r4-green rows + the r5-green set in the overflow: the five
-# (url_canonicalize, hash_split, corpus_shuffle, pii_redact,
-# stratified_sample) are untouched-since-r2/r3 map-only rows, locally
-# oracle-replayed by tests/test_queries_oracle.py on every tree; they
-# lead the r7 rotation. The r5-green set follows, freshest evidence
-# last.
+# in r4 with this round's code-touched rows first. At 142 rows a 50-cap
+# covers: every never-checked r6 row (incl. the 8 late-session
+# maintenance/retrieval/chunking rows at idx ≤43), the changed-decode
+# r5 rows, and the head of the r4-green backlog; the displaced rows
+# (pit_dual_rate_chunked, anti_join_resume, asof_join, … from idx 50)
+# are r4/r5 hash-green and locally oracle-replayed by
+# tests/test_queries_oracle.py on every tree — they lead the r7
+# rotation, freshest evidence last.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- last green r3: lead the rotation ---
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
