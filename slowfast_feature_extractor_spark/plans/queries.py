@@ -7515,15 +7515,121 @@ SELECT user_id, value FROM latest WHERE op <> 'D'
 """
 
 
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured COLUMN parsing: the events ``props`` JSON string
+    goes through JVM-side ``from_json`` (JsonToStructs — whole-stage
+    codegen, no Python) with typed schema extraction and corrupt-row
+    tolerance: rows with event_id ≡ 0 (mod 17) are deterministically
+    mangled to invalid JSON before parsing, and PERMISSIVE from_json
+    yields NULL fields for them instead of failing the scan — the
+    column-level twin of ``jsonl_scan``'s file-level quarantine (the
+    only survivable posture when some shard of 10^12 rows always
+    carries torn payloads). Per event_type: parse accounting + exact
+    integer stats over the extracted field. Map-only until one
+    map-side-combinable groupBy on a tiny key domain."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mangled = F.when(
+        F.col("event_id") % 17 == 0, F.concat(F.lit("{bad:"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.from_json(mangled, "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_PROPS_PARSE = """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN event_id % 17 = 0 THEN '{bad:' || props
+              ELSE props END AS p
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(p)
+              THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k
+  FROM c
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training kernel: corpus-wide adjacent-symbol pair
+    counts (Sennrich et al. 2016) — the statistic every merge round of
+    BPE training maximizes, here at character level over lowercase
+    word tokens (repeats counted: a pair's count is its corpus
+    frequency, not document frequency). Global top-20 by count with
+    full lexical tie-break via orderBy+limit, which compiles to
+    TakeOrderedAndProject — per-partition top-k then a driver-side
+    merge of k-row heads, never a single-partition window. The pair
+    key domain is ≤ |alphabet|², so the count shuffle is tiny after
+    map-side combine regardless of corpus size; a full training loop
+    re-runs this plan per merge with the winning pair fused (driver
+    loop, like pagerank2's rounds)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            F.filter(
+                TS.tokens(F.col("text")),
+                lambda x: x.rlike("^[a-z]{2,}$"),
+            )
+        ).alias("term")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+ORACLE_BPE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '),
+         x -> regexp_matches(x, '^[a-z]{2,}$'))) AS term
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(term)),
+                i -> substring(term, i, 2))) AS pair
+  FROM toks
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+"""
+
+
 # The driver's correctness gate caps at 50 rows, and dict order decides
 # who is in it. r6 rotation: the two rows whose last green is r3 lead
 # (sacrificed by r5's cap, as planned there), then rows never hash-
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 142 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 144 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
-# maintenance/retrieval/chunking rows at idx ≤43), the changed-decode
+# maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
 # (pit_dual_rate_chunked, anti_join_resume, asof_join, … from idx 50)
 # are r4/r5 hash-green and locally oracle-replayed by
@@ -7577,6 +7683,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "inverted_index": (q_inverted_index, ORACLE_INVERTED_INDEX),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "cdc_streamed": (q_cdc_streamed, ORACLE_CDC_STREAMED),
+    "props_parse": (q_props_parse, ORACLE_PROPS_PARSE),
+    "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
