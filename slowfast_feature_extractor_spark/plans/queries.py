@@ -7621,13 +7621,67 @@ LIMIT 20
 """
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 via Spark's NATIVE session windows: ``F.session_window(ts,
+    '30 minutes')`` in a plain groupBy — the JVM built-in that the
+    engine's other sessionizers complement (window-scan `sessionize`,
+    skew-chunked `sessionize_chunked`, stateful-streaming
+    `sessionize_streamed`). No Python anywhere; Spark merges
+    overlapping windows in a post-shuffle sort pass per key.
+
+    Boundary convention documented: session_window windows are
+    [ts, ts+gap), so a revisit at EXACTLY the gap starts a new session
+    (gap >= 30 min splits) — one tick different from `sessionize`'s
+    strict `gap > threshold` split; the oracle encodes >= so the hash
+    pins the native semantics, and `session_end` = last event + gap
+    (the window end), not the last event itself."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_NATIVE = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+),
+s AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                     THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM lagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 # The driver's correctness gate caps at 50 rows, and dict order decides
 # who is in it. r6 rotation: the two rows whose last green is r3 lead
 # (sacrificed by r5's cap, as planned there), then rows never hash-
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 144 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 145 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
 # maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
@@ -7685,6 +7739,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_streamed": (q_cdc_streamed, ORACLE_CDC_STREAMED),
     "props_parse": (q_props_parse, ORACLE_PROPS_PARSE),
     "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
+    "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
