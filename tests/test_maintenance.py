@@ -237,3 +237,37 @@ def test_expire_versions(spark, tmp_path):
     # idempotent on an already-trimmed dir; empty dir is a no-op
     assert CS.expire_versions(str(state), 1) == []
     assert CS.expire_versions(str(tmp_path / "nope"), 3) == []
+
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="session")
+def spark_for_hypothesis(spark):
+    """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
+    return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_key_invertible_property(spark_for_hypothesis, pts):
+    """De-interleaving the Morton key recovers (x, y) exactly for any
+    8-bit point set — the key loses no information, so z-sorted
+    min/max stats are sound for pruning on either dimension."""
+    spark = spark_for_hypothesis
+    df = spark.createDataFrame(list(set(pts)), "x long, y long")
+    got = df.select(
+        "x", "y", MT.zorder_key(F.col("x"), F.col("y"), bits=8).alias("z")
+    ).collect()
+    for r in got:
+        x = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        y = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])

@@ -177,3 +177,49 @@ def test_chunk_tokens_edges(spark):
     assert len(out) == 6
     with _pytest.raises(ValueError):
         chunk_tokens(df, "id", toks, window=0, stride=3)
+
+
+import pytest as _pt
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@_pt.fixture(scope="session")
+def spark_for_hypothesis(spark):
+    """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
+    return spark
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(0, 50),
+    window=st.integers(1, 8),
+    stride=st.integers(1, 8),
+)
+def test_chunk_tokens_properties(spark_for_hypothesis, n, window, stride):
+    """For ANY (corpus length, window, stride): chunk k is exactly
+    toks[k*stride : k*stride+window]; the chunk count is
+    floor(max(n-1,0)/stride)+1; and when stride <= window every token
+    index is covered by at least one chunk."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.windows import chunk_tokens
+
+    spark = spark_for_hypothesis
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "id long, text string")
+    col = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    rows = sorted(
+        chunk_tokens(df, "id", col, window=window, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert len(rows) == max(n - 1, 0) // stride + 1
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * stride
+        expect = toks[start : start + window]
+        assert r["chunk"] == expect
+        assert r["chunk_len"] == len(expect) if n else r["chunk_len"] == 0
+        covered.update(range(start, min(start + window, n)))
+    if stride <= window:
+        assert covered == set(range(n))
