@@ -7675,13 +7675,68 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile pruning — "keep the top 30% by quality score
+    per domain", the selection step that follows scoring in a corpus
+    pipeline (quality_classifier/dsir_score produce the score; this row
+    applies the per-group cutoff). percent_rank needs the full group
+    (unlike rank≤k there is no WindowGroupLimit pre-prune), so the cost
+    is ONE window sort per source partition — the per-domain
+    sessionize-class shape, with the same skew answer (a pathological
+    mega-domain goes through the chunked machinery or a two-pass
+    approx-quantile cutoff). The rank is (rank-1)/(n-1): an exact
+    rational both engines evaluate with one IEEE division, and the
+    doc_id tiebreak makes every rank unique, so the 0.3 boundary cannot
+    flake."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "source", TS.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.3)
+        .select("doc_id", "source", "q", F.round("pr", 6).alias("pr"))
+    )
+
+
+ORACLE_QUALITY_PRUNE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok_cnt,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains({_STOPS_SQL}, x))) AS stop_cnt,
+    length(replace(text, ' ', '')) AS chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+    round(least(tok_cnt / 200.0, 1.0) * 0.4
+      + (CASE WHEN tok_cnt > 0 THEN CAST(stop_cnt AS DOUBLE) / tok_cnt
+              ELSE 0.0 END) * 0.3
+      + least((CASE WHEN tok_cnt > 0 THEN CAST(chars AS DOUBLE) / tok_cnt
+               ELSE 0.0 END) / 8.0, 1.0) * 0.3, 6) AS q
+  FROM b
+),
+r AS (
+  SELECT doc_id, source, q,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY q DESC, doc_id ASC) AS pr
+  FROM m
+)
+SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
+"""
+
+
 # The driver's correctness gate caps at 50 rows, and dict order decides
 # who is in it. r6 rotation: the two rows whose last green is r3 lead
 # (sacrificed by r5's cap, as planned there), then rows never hash-
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 145 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 146 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
 # maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
@@ -7740,6 +7795,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "props_parse": (q_props_parse, ORACLE_PROPS_PARSE),
     "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
+    "quality_prune": (q_quality_prune, ORACLE_QUALITY_PRUNE),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
