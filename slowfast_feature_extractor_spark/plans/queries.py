@@ -1044,13 +1044,12 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {thr}
 """
 
 
-def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus cleaning composition (the training-data
-    pipeline in one plan): language gate → quality gate → exact-dedup
-    keep-min — survivors with their quality and copy count. All pure
-    Column expressions over ONE scan; the dedup window is the only
-    shuffle."""
-    d = _docs(spark, sf_dir)
+def _corpus_survivors(d: DataFrame) -> DataFrame:
+    """Shared cleaning chain (corpus_clean / training_prep): language
+    gate → quality gate → exact-dedup keep-min. Returns survivors AND
+    losers with doc_id, text, quality, keep_id, n_copies (callers
+    filter ``doc_id == keep_id``). All pure Column expressions over ONE
+    scan; the dedup window is the only shuffle."""
     t = F.col("text")
     scored = d.select(
         "doc_id", "text",
@@ -1064,16 +1063,24 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 expression directly makes Spark project a fresh _w0 per
     # window column and plan two Exchanges instead of one
     w = Window.partitionBy("__h")
-    out = (
+    return (
         kept.withColumn("keep_id", F.min("doc_id").over(w))
         .withColumn("n_copies", F.count(F.lit(1)).over(w))
     )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning composition (the training-data
+    pipeline in one plan): language gate → quality gate → exact-dedup
+    keep-min — survivors with their quality and copy count
+    (`_corpus_survivors`)."""
+    out = _corpus_survivors(_docs(spark, sf_dir))
     return out.filter(F.col("doc_id") == F.col("keep_id")).select(
         "doc_id", "quality", "n_copies"
     )
 
 
-def _corpus_clean_oracle() -> str:
+def _corpus_clean_cte() -> str:
     score_exprs = []
     for lang in sorted(TS.LANG_MARKERS):
         marks = "['" + "','".join(TS.LANG_MARKERS[lang]) + "']"
@@ -1087,8 +1094,7 @@ def _corpus_clean_oracle() -> str:
     for lang in langs:
         case += f"WHEN s_{lang} = {best} THEN '{lang}' "
     case += "ELSE 'und' END"
-    return f"""
-WITH b AS (
+    return f"""b AS (
   SELECT doc_id, text,
     len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok_cnt,
     len(list_filter(string_split(text, ' '),
@@ -1107,13 +1113,66 @@ m AS (
 ),
 kept AS (SELECT doc_id, text, quality FROM m WHERE lang_pred = 'en' AND quality >= 0.3),
 g AS (
-  SELECT doc_id, quality,
+  SELECT doc_id, text, quality,
          min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
          count(*) OVER (PARTITION BY md5(text)) AS n_copies
   FROM kept
 )
-SELECT doc_id, quality, n_copies FROM g WHERE doc_id = keep_id
 """
+
+
+def _corpus_clean_oracle() -> str:
+    return (
+        f"WITH {_corpus_clean_cte()}\n"
+        "SELECT doc_id, quality, n_copies FROM g WHERE doc_id = keep_id"
+    )
+
+
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL doc→training-example pipeline as ONE Spark plan:
+    language gate → quality gate → exact-dedup keep-min
+    (`_corpus_survivors`) → overlapping 40/32 token windows
+    (`operators/windows.chunk_tokens`) → per-chunk fingerprints. No
+    materialization boundary anywhere — Catalyst sees scan-to-chunks as
+    a single DAG (one dedup-window shuffle, then map-only chunking), so
+    column pruning reaches the scan and the cleaning predicates never
+    block pipelining into the generator. Chunk text is emitted as md5
+    so the driver hash pins every byte of every chunk without shipping
+    the corpus through the compare."""
+    from slowfast_feature_extractor_spark.operators.windows import chunk_tokens
+
+    surv = (
+        _corpus_survivors(_docs(spark, sf_dir))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    ch = chunk_tokens(surv, "doc_id", TS.tokens(F.col("text")), 40, 32)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        "chunk_len",
+    )
+
+
+def _training_prep_oracle() -> str:
+    return f"""WITH {_corpus_clean_cte()},
+surv AS (SELECT doc_id, text FROM g WHERE doc_id = keep_id),
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM surv
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+ch AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS start
+  FROM sized
+)
+SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
+       md5(array_to_string(list_slice(toks, start + 1, start + 40), ' '))
+         AS chunk_hash,
+       CAST(least(n - start, 40) AS INT) AS chunk_len
+FROM ch"""
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7736,7 +7795,7 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 146 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 147 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
 # maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
@@ -7796,6 +7855,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "quality_prune": (q_quality_prune, ORACLE_QUALITY_PRUNE),
+    "training_prep": (q_training_prep, _training_prep_oracle()),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
