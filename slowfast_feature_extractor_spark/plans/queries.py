@@ -3801,6 +3801,40 @@ FROM q
 """
 
 
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of a crawl pipeline,
+    upstream of any content hashing: messy URL variants (case-shifted
+    hosts, default ports, trailing slashes, fragments, tracking params,
+    param order) collapse to one canonical key, keep-min + copy count.
+    The synth embeds ``doc_id % 50`` so recrawl-style variants of the
+    same logical page actually collide (groups up to 5 at sf0.01).
+    Canonicalization is zero-shuffle map work; the groupBy is map-side
+    combined on the canonical key — at 10^12 fetch records this
+    typically removes 20-40% of the volume before any text is even
+    decoded, which is why it runs first."""
+    d = _docs(spark, sf_dir)
+    url = UT.synth_url(F.col("doc_id") % 50, F.col("source"))
+    return (
+        d.select("doc_id", UT.canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _dedup_url_oracle() -> str:
+    synth = _SYNTH_URL_SQL.replace("doc_id", "(doc_id % 50)")
+    canon = ORACLE_URL_CANONICALIZE.replace(_SYNTH_URL_SQL, synth)
+    return f"""
+WITH c AS ({canon})
+SELECT canon_url, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM c GROUP BY canon_url
+"""
+
+
 def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage removal across the corpus (Lee et al.
     2022 / RefinedWeb line-dedup at fixed 8-token granularity): only the
@@ -7795,7 +7829,7 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 147 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 148 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
 # maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
@@ -7856,6 +7890,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_native": (q_sessionize_native, ORACLE_SESSIONIZE_NATIVE),
     "quality_prune": (q_quality_prune, ORACLE_QUALITY_PRUNE),
     "training_prep": (q_training_prep, _training_prep_oracle()),
+    "dedup_url": (q_dedup_url, _dedup_url_oracle()),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
