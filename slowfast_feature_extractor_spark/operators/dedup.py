@@ -197,23 +197,18 @@ def shingle_table(
     return df.select(F.col(id_col).alias("id"), F.explode(hashed).alias("shingle"))
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
-    hash_fn: str = "md5",
-) -> DataFrame:
-    """All-pairs n-gram Jaccard via a shared-shingle inverted index.
+def _pair_intersections(
+    sh: DataFrame, max_shingle_df: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the all-pairs scorers
+    (:func:`jaccard_pairs`, :func:`containment_pairs`): one intersection
+    count per unordered doc pair sharing ≥1 shingle, plus per-doc
+    shingle counts — both computed AFTER the df skew cap so scorer and
+    size see the same shingle universe (and so does any oracle replay:
+    the registry oracles apply the identical cap).
 
-    Candidate pairs = docs sharing ≥1 shingle (after dropping shingles
-    whose document frequency exceeds ``max_shingle_df`` — the skew cap);
-    then exact |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    Returns ``(inter(id_a, id_b, inter), sizes(id, sz))``.
     """
-    sh = shingle_table(df, id_col, text_col, n, hash_fn)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -239,6 +234,28 @@ def jaccard_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via a shared-shingle inverted index.
+
+    Candidate pairs = docs sharing ≥1 shingle (after dropping shingles
+    whose document frequency exceeds ``max_shingle_df`` — the skew cap);
+    then exact |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    inter, sizes = _pair_intersections(
+        shingle_table(df, id_col, text_col, n, hash_fn), max_shingle_df
     )
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
@@ -278,26 +295,8 @@ def containment_pairs(
     from the single count by exploding a 2-array — no second pass over
     the index.
     """
-    sh = shingle_table(df, id_col, text_col, n, hash_fn)
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .filter(F.col("df_cnt") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    # merge join pinned for the same spill-safety reasons as
-    # jaccard_pairs (see the comment there)
-    inter = (
-        a.hint("merge").join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, sizes = _pair_intersections(
+        shingle_table(df, id_col, text_col, n, hash_fn), max_shingle_df
     )
     both = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")

@@ -226,8 +226,13 @@ def chunk_tokens(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    # A NULL token array must count as 0 tokens HERE: size(NULL) is
+    # NULL, and downstream greatest/least silently SKIP NULL operands,
+    # which would emit chunk_len = window for a doc with no tokens at
+    # all. With __n pinned to 0 a NULL-array doc yields its chunk 0 as
+    # (chunk=NULL, chunk_len=0) — same accounting as an empty array.
     base = df.select(F.col(id_col), tokens_col.alias("__toks")).select(
-        id_col, "__toks", F.size("__toks").alias("__n")
+        id_col, "__toks", F.coalesce(F.size("__toks"), F.lit(0)).alias("__n")
     )
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)

@@ -1018,15 +1018,29 @@ def _md5i64_sql(x: str) -> str:
 # shingles are hashed to int64 INSIDE the per-doc list (then
 # list_distinct) — mirrors shingle_table's map-side transform →
 # array_distinct → explode, so the engines agree even on hash collisions
-_SHINGLE_CTE = f"""
-sh AS (
+_SHINGLE_BODY = f"""
   SELECT id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
       i -> {_md5i64_sql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))) AS shingle
   FROM (SELECT doc_id AS id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
         FROM documents)
   WHERE len(toks) >= 3
-),
+"""
+
+_SHINGLE_CTE = f"""
+sh AS ({_SHINGLE_BODY}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
+"""
+
+# the all-pairs scorers (jaccard_pairs / containment_pairs) drop
+# shingles whose document frequency exceeds max_shingle_df=1000 BEFORE
+# intersections AND sizes; their oracles must apply the identical cap
+# or engine and replay diverge the first time a boilerplate shingle
+# crosses the threshold at a larger scale (no-op at sf0.01: max df 7)
+_SHINGLE_CAPPED_CTE = f"""
+sh0 AS ({_SHINGLE_BODY}),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)
 """
 
@@ -1156,23 +1170,11 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _training_prep_oracle() -> str:
-    return f"""WITH {_corpus_clean_cte()},
-surv AS (SELECT doc_id, text FROM g WHERE doc_id = keep_id),
-base AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM surv
-),
-sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
-ch AS (
-  SELECT doc_id, toks, n,
-         unnest(range(0, greatest(n - 1, 0) + 1, 32)) AS start
-  FROM sized
-)
-SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
-       md5(array_to_string(list_slice(toks, start + 1, start + 40), ' '))
-         AS chunk_hash,
-       CAST(least(n - start, 40) AS INT) AS chunk_len
-FROM ch"""
+    return (
+        f"WITH {_corpus_clean_cte()},\n"
+        "surv AS (SELECT doc_id, text FROM g WHERE doc_id = keep_id),\n"
+        + _chunk_sql("surv", "md5({chunk})", "chunk_hash")
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,7 +1194,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_JACCARD = f"""
-WITH {_SHINGLE_CTE},
+WITH {_SHINGLE_CAPPED_CTE},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
@@ -2557,14 +2559,28 @@ def _run_available_now(stream_df, base: str) -> str:
 def _stage_stream_file(df, src: str, base: str, name: str) -> None:
     """Write ``df`` as a single parquet file ``name`` inside the
     file-stream source dir (the source tracks filenames, so each staged
-    batch needs a fresh name)."""
+    batch needs a fresh name).
+
+    FileStreamSource orders files by MODIFICATION TIME with undefined
+    tie-breaking, and shutil.move preserves the part file's mtime — two
+    files staged within the same ms could be consumed out of order,
+    which silently breaks order-sensitive replays (the CDC fold, the
+    sessionize sentinel). The leading digits of ``name`` (every caller
+    uses ``NN-...``) are therefore stamped into the mtime so batch
+    order is total and deterministic."""
     import os
+    import re
     import shutil
 
     tmp = os.path.join(base, f"tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+    dst = os.path.join(src, f"{name}.parquet")
+    shutil.move(os.path.join(tmp, part), dst)
+    m = re.match(r"(\d+)", name)
+    if m:
+        t = 1_700_000_000 + 60 * int(m.group(1))
+        os.utime(dst, (t, t))
 
 
 def q_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7367,7 +7383,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CONTAINMENT = f"""
-WITH {_SHINGLE_CTE},
+WITH {_SHINGLE_CAPPED_CTE},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
@@ -7524,10 +7540,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_CHUNKS = """
-WITH base AS (
+def _chunk_sql(source_rel: str, text_expr: str, text_alias: str) -> str:
+    """The 40/32 chunking CTEs + final SELECT over ``source_rel`` (any
+    relation providing doc_id, text) — single SQL source of truth for
+    every oracle that replays ``chunk_tokens`` (doc_chunks,
+    training_prep). ``text_expr`` renders the chunk (use ``{{chunk}}``
+    for the joined chunk string)."""
+    chunk = "array_to_string(list_slice(toks, start + 1, start + 40), ' ')"
+    return f"""base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents
+  FROM {source_rel}
 ),
 sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
 ch AS (
@@ -7536,11 +7558,12 @@ ch AS (
   FROM sized
 )
 SELECT doc_id, CAST(start // 32 AS INT) AS chunk_id,
-       array_to_string(list_slice(toks, start + 1, start + 40), ' ')
-         AS chunk_text,
+       {text_expr.format(chunk=chunk)} AS {text_alias},
        CAST(least(n - start, 40) AS INT) AS chunk_len
-FROM ch
-"""
+FROM ch"""
+
+
+ORACLE_DOC_CHUNKS = f"WITH {_chunk_sql('documents', '{chunk}', 'chunk_text')}"
 
 
 def q_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7587,6 +7610,11 @@ def q_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         value_cols=["value"],
     )
+    import shutil
+
+    for sub in os.listdir(base):  # keep only the state versions —
+        if sub != "state":  # the returned relation reads them lazily
+            shutil.rmtree(os.path.join(base, sub), ignore_errors=True)
     return read_state(spark, state_dir).select("user_id", "value")
 
 

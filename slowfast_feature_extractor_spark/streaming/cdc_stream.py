@@ -74,16 +74,23 @@ def read_state(
 
 def expire_versions(state_dir: str, keep_last: int) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
-    versions (Iceberg ``expire_snapshots``). The latest version is
-    never expirable (keep_last >= 1 enforced) because crash-replay of
-    an uncommitted batch folds into it. Returns the expired ids.
+    versions (Iceberg ``expire_snapshots``). ``keep_last >= 2`` is
+    enforced: crash-replay of batch N folds into the version BELOW
+    v{N} (see ``_fold``), so if the newest version's checkpoint had not
+    committed when the job died, its PREDECESSOR is the one replay
+    reads — expiring it would silently collapse state to the replayed
+    batch's keys. Returns the expired ids.
 
     At real table scale expiry also means deleting data files no live
     snapshot references; here a version directory IS its file set, so
     removing the directory is exactly that orphan-file sweep.
     """
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: the newest version may be an "
+            "uncheckpointed commit whose crash-replay folds into its "
+            "predecessor"
+        )
     import shutil
 
     if not os.path.isdir(state_dir):

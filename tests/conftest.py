@@ -31,3 +31,10 @@ def pages_df(spark, pages_pd):
     from slowfast_feature_extractor_spark.sources.pages import pages_spark_schema
 
     return spark.createDataFrame(pages_pd, schema=pages_spark_schema())
+
+
+@pytest.fixture(scope="session")
+def spark_for_hypothesis(spark):
+    """Session-scoped alias (hypothesis forbids function-scoped
+    fixtures); shared by every hypothesis-based test module."""
+    return spark

@@ -182,9 +182,15 @@ def test_cdc_stream_versions_and_restart(spark, tmp_path):
     )
     b0.coalesce(1).write.parquet(str(tmp_path / "t0"))
     b1.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    import os
+
     for i in (0, 1):
         part = next((tmp_path / f"t{i}").glob("*.parquet"))
-        shutil.move(str(part), str(src / f"0{i}.parquet"))
+        dst = src / f"0{i}.parquet"
+        shutil.move(str(part), str(dst))
+        # the file stream source orders by mtime with undefined ties;
+        # the fold is order-sensitive, so pin a total order
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
 
     def run():
         stream = (
@@ -216,8 +222,10 @@ def test_cdc_stream_versions_and_restart(spark, tmp_path):
 
 
 def test_expire_versions(spark, tmp_path):
-    """Retention keeps the newest K versions; the latest is never
-    expirable; expiry of everything-but-latest leaves state readable."""
+    """Retention keeps the newest K versions; keep_last < 2 is refused
+    (the newest version may be an uncheckpointed commit whose
+    crash-replay folds into its PREDECESSOR, so that predecessor must
+    survive); expiry leaves state readable."""
     import pytest as _pytest
 
     from slowfast_feature_extractor_spark.streaming import cdc_stream as CS
@@ -227,15 +235,17 @@ def test_expire_versions(spark, tmp_path):
         spark.createDataFrame([(v,)], "k long").write.parquet(
             str(state / f"v{v}")
         )
-    with _pytest.raises(ValueError):
-        CS.expire_versions(str(state), 0)
+    for bad in (0, 1):
+        with _pytest.raises(ValueError):
+            CS.expire_versions(str(state), bad)
     assert CS.expire_versions(str(state), 2) == [0]
     assert CS.latest_state_version(str(state)) == 2
-    assert CS.expire_versions(str(state), 1) == [1]
+    # the replay predecessor (v1) survived: before=2 still resolves
+    assert CS.latest_state_version(str(state), before=2) == 1
     [row] = CS.read_state(spark, str(state)).collect()
     assert row["k"] == 2
     # idempotent on an already-trimmed dir; empty dir is a no-op
-    assert CS.expire_versions(str(state), 1) == []
+    assert CS.expire_versions(str(state), 2) == []
     assert CS.expire_versions(str(tmp_path / "nope"), 3) == []
 
 
@@ -244,10 +254,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@pytest.fixture(scope="session")
-def spark_for_hypothesis(spark):
-    """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
-    return spark
 
 
 @settings(max_examples=10, deadline=None)

@@ -104,10 +104,6 @@ def test_dual_rate_never_leaks_property(spark_for_hypothesis, series):
             assert r["n_hist_rows"] == i
 
 
-@pytest.fixture(scope="session")
-def spark_for_hypothesis(spark):
-    """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
-    return spark
 
 
 def test_host_of_handles_pathless_case_and_port(spark):

@@ -184,10 +184,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@_pt.fixture(scope="session")
-def spark_for_hypothesis(spark):
-    """Session-scoped alias (hypothesis forbids function-scoped fixtures)."""
-    return spark
 
 
 @settings(max_examples=12, deadline=None)
@@ -223,3 +219,16 @@ def test_chunk_tokens_properties(spark_for_hypothesis, n, window, stride):
         covered.update(range(start, min(start + window, n)))
     if stride <= window:
         assert covered == set(range(n))
+
+
+def test_chunk_tokens_null_array(spark):
+    """A NULL token array counts as 0 tokens: chunk 0 with chunk_len 0
+    (NOT chunk_len = window -- least() would skip a NULL n-start)."""
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.windows import chunk_tokens
+
+    df = spark.createDataFrame([(1,)], "id long")
+    null_toks = F.lit(None).cast("array<string>")
+    [row] = chunk_tokens(df, "id", null_toks, window=4, stride=3).collect()
+    assert (row["chunk_id"], row["chunk"], row["chunk_len"]) == (0, None, 0)
