@@ -203,3 +203,50 @@ def asof_join(
     if not matched_ts_col:
         out = out.drop(internal_ts)
     return out
+
+
+def interval_join(
+    windows: DataFrame,
+    events: DataFrame,
+    key_cols: list[str],
+    w_start: str,
+    w_end: str,
+    e_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Batch interval join — events matched into [w_start, w_end]
+    windows per key — executed as a BUCKETED EQUI-JOIN, never a
+    nested-loop.
+
+    Spark plans a bare non-equi time predicate as
+    BroadcastNestedLoopJoin (one side broadcast whole, |W|x|E|
+    comparisons per key) — a hard scale ceiling. Instead each window is
+    exploded into the time buckets it spans (ceil(span/bucket)+1 copies
+    — a few, when bucket_seconds ~ window span), each event maps to
+    exactly ONE bucket, and the join runs as a shuffled equi-join on
+    (key, bucket) with the exact BETWEEN predicate as a residual
+    filter. Every (window, event) pair meets exactly once — the event's
+    single bucket matches at most one copy of the window — so no
+    post-join dedup is needed. Shuffle volume: |E| + |W| x copies,
+    spillable sort-merge, AQE-splittable on hot keys.
+
+    The batch twin of the watermarked stream-stream interval join
+    (``stream_join``); same attribution semantics, arbitrary history
+    depth. Returns windows x matched events (inner).
+    """
+    wb = windows.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(w_start)) / bucket_seconds).cast("long"),
+                (F.unix_timestamp(F.col(w_end)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    eb = events.withColumn(
+        "__b", (F.unix_timestamp(F.col(e_ts)) / bucket_seconds).cast("long")
+    )
+    joined = wb.join(eb, on=[*key_cols, "__b"]).filter(
+        (F.col(e_ts) >= F.col(w_start)) & (F.col(e_ts) <= F.col(w_end))
+    )
+    return joined.drop("__b")

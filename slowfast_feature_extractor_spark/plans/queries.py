@@ -3817,6 +3817,57 @@ FROM q
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval (range) join via bucketed equi-join
+    (``operators/asof_join.interval_join``): each purchase opens a 2 h
+    attribution window; every same-user event inside the window is
+    attributed to it. A bare ``BETWEEN`` join predicate plans as
+    BroadcastNestedLoopJoin — |W|×|E| comparisons and a broadcast of a
+    whole side, the classic non-equi scale ceiling; here windows
+    explode into the ≤3 hour-buckets they span, events map to exactly
+    one bucket, and the join is a shuffled sort-merge equi-join on
+    (user, bucket) with the exact BETWEEN as residual — each pair meets
+    exactly once, so the aggregate needs no dedup. The batch twin of
+    ``stream_join``."""
+    from slowfast_feature_extractor_spark.operators.asof_join import interval_join
+
+    ev = _ev(spark, sf_dir)
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "value_cents"
+    )
+    j = interval_join(
+        wins, clicks, ["user_id"], "w_start", "w_end", "ts", bucket_seconds=3600
+    )
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+w AS (
+  SELECT user_id, event_id AS win_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM ev WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, ts, value_cents FROM ev WHERE event_type <> 'purchase'
+)
+SELECT w.win_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.value_cents) AS BIGINT) AS sum_cents
+FROM w JOIN e ON w.user_id = e.user_id
+             AND e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY w.win_id
+"""
+
+
 def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup — the FIRST dedup stage of a crawl pipeline,
     upstream of any content hashing: messy URL variants (case-shifted
@@ -7857,7 +7908,7 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
 # checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
 # the oracle is new), then r5-green rows whose DECODE PATH changed this
 # round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 148 rows a 50-cap
+# in r4 with this round's code-touched rows first. At 149 rows a 50-cap
 # covers: every never-checked r6 row (incl. the 8 late-session
 # maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
 # r5 rows, and the head of the r4-green backlog; the displaced rows
@@ -7919,6 +7970,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quality_prune": (q_quality_prune, ORACLE_QUALITY_PRUNE),
     "training_prep": (q_training_prep, _training_prep_oracle()),
     "dedup_url": (q_dedup_url, _dedup_url_oracle()),
+    "interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),

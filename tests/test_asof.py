@@ -207,3 +207,36 @@ def test_asof_tolerance_on_date_column(spark):
         left, right, on="d", by=["url"], tolerance_seconds=5 * 86400.0
     ).collect()
     assert no[0]["v"] is None
+
+
+def test_interval_join_buckets_exactly_once(spark):
+    """Bucketed range join: events on window boundaries are included
+    (closed interval), each (window, event) pair emits exactly once
+    even when the window spans several buckets, and the plan is an
+    equi-join -- never BroadcastNestedLoopJoin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.asof_join import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    wins = spark.createDataFrame(
+        [(1, 10, t0, t0 + dt.timedelta(hours=2))],  # spans 3 hour-buckets
+        "k long, win_id long, w_start timestamp, w_end timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, t0, 100),                               # on w_start: in
+            (1, t0 + dt.timedelta(hours=2), 101),       # on w_end: in
+            (1, t0 + dt.timedelta(hours=1), 102),       # middle bucket: in
+            (1, t0 + dt.timedelta(hours=2, seconds=1), 103),  # past end: out
+            (2, t0 + dt.timedelta(hours=1), 104),       # other key: out
+        ],
+        "k long, ts timestamp, eid long",
+    )
+    j = interval_join(wins, events, ["k"], "w_start", "w_end", "ts", 3600)
+    got = sorted(r["eid"] for r in j.collect())
+    assert got == [100, 101, 102]  # each exactly once, boundaries closed
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
