@@ -7903,23 +7903,22 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
 
 
 # The driver's correctness gate caps at 50 rows, and dict order decides
-# who is in it. r6 rotation: the two rows whose last green is r3 lead
-# (sacrificed by r5's cap, as planned there), then rows never hash-
-# checked (new r6 rows; knn_ivf counts — its r5 check was rows-only,
-# the oracle is new), then r5-green rows whose DECODE PATH changed this
-# round (the JPEG scan-walk generalization), then every row last green
-# in r4 with this round's code-touched rows first. At 149 rows a 50-cap
-# covers: every never-checked r6 row (incl. the 8 late-session
-# maintenance/retrieval/chunking/parsing rows at idx ≤45), the changed-decode
-# r5 rows, and the head of the r4-green backlog; the displaced rows
-# (pit_dual_rate_chunked, anti_join_resume, asof_join, … from idx 50)
-# are r4/r5 hash-green and locally oracle-replayed by
+# who is in it. r6 rotation, final session: at 149 rows the cap is
+# spent ENTIRELY on rows with no driver-hash evidence — 49 never-
+# checked r6 rows (incl. all 15 late-session maintenance/retrieval/
+# chunking/join rows) plus knn_ivf, whose r5 check was rows-only and
+# whose oracle is new this round. union_set_ops keeps its planned
+# r3-staleness slot; except_ops (also r3-green, an EXCEPT over the
+# same fixtures) is the one planned re-check displaced to idx 50 —
+# never-checked beats stale-checked for the canonical CORRECTNESS
+# signal. Everything displaced (changed-decode JPEG rows, the
+# r4/r5-green backlog) is locally oracle-replayed by
 # tests/test_queries_oracle.py on every tree — they lead the r7
 # rotation, freshest evidence last.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- last green r3: lead the rotation ---
     "union_set_ops": (q_union_set_ops, ORACLE_UNION_SET_OPS),
-    "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
+    "interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
     "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
     "multimodal_png_palette": (q_multimodal_png_palette, _mm_png_palette_oracle()),
@@ -7970,7 +7969,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quality_prune": (q_quality_prune, ORACLE_QUALITY_PRUNE),
     "training_prep": (q_training_prep, _training_prep_oracle()),
     "dedup_url": (q_dedup_url, _dedup_url_oracle()),
-    "interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
+    "except_ops": (q_except_ops, ORACLE_EXCEPT_OPS),
     # --- r5-green but decode path changed this round ---
     "multimodal_jpeg_prog": (q_multimodal_jpeg_prog, _mm_jpeg_prog_oracle()),
     "multimodal_video": (q_multimodal_video, _mm_video_oracle()),
