@@ -872,3 +872,87 @@ def knn_ivfpq(
             "adist",
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    tokens_col,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_term_df: int | None = 1000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Sparse LEXICAL cosine near-dup pairs over TF-IDF weights — the
+    third similarity geometry next to shingle Jaccard (set overlap,
+    operators/dedup.jaccard_pairs) and dense embedding cosine
+    (embedding_neardup): rewordings that shuffle n-grams but keep the
+    vocabulary still score high here.
+
+    cos(a, b) = Σ w_a(t)·w_b(t) / (‖w_a‖·‖w_b‖) over SHARED terms only,
+    so the pair sums ride the same inverted-index equi-join shape as
+    jaccard_pairs: candidates ∝ docs sharing a (df-capped) term, never
+    all pairs. EXACT integer weights — w = tf · (1e6·N div df), dot
+    products and squared norms accumulated as DECIMAL(38,0) (both
+    engines sum them exactly; float summation order can flip a rounded
+    6dp boundary, IEEE sqrt/division at the very end cannot). At
+    10^12 docs the 1e6·N idf numerator overflows the decimal head-room
+    budget — scale idf from a SAMPLED N or log-bucket it there; the
+    plan shape is unchanged.
+
+    ``n_docs``: pass the corpus count if known; otherwise one
+    metadata-scale count() job derives it.
+    """
+    d = docs.select(F.col(id_col).alias("id"), tokens_col.alias("toks"))
+    tf = (
+        d.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if n_docs is None:
+        n_docs = d.count()  # metadata-scale driver scalar
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if max_term_df is not None:
+        dfs = dfs.filter(F.col("df_t") <= max_term_df)
+    w = (
+        tf.join(dfs, "term")
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf") * F.expr(f"{1_000_000 * n_docs} div df_t")
+            ).cast("decimal(38,0)").alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    # merge join pinned for the same spill-safety reasons as
+    # dedup._pair_intersections (exploded index sides defeat size
+    # estimates; a broadcast build side here hard-OOMs at corpus scale)
+    cross = (
+        a.hint("merge").join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.withColumnsRenamed({"id": "id_a", "n2": "n2_a"})
+    nb = norms.withColumnsRenamed({"id": "id_b", "n2": "n2_b"})
+    out = (
+        cross.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return out
