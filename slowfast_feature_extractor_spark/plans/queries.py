@@ -886,6 +886,112 @@ FROM ev GROUP BY event_type
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch WITH its exact twin in one
+    row (the `distinct_sketch` pattern: the driver hash pins both the
+    sketch's answer and its error against ground truth). The sketch is
+    a fixed-width (100-cent) bucket histogram — state is O(range/width)
+    integers per group, map-side combinable, mergeable across any
+    partitioning — vs the exact path's full per-group sort. approx_p =
+    upper bound of the first bucket whose cumulative count reaches
+    rank ceil(p·n/100); exact_p = the value AT that rank (discrete
+    quantile, unique (value, event_id) sort). ALL comparisons are
+    integer cross-multiplications (100·cum ≥ p·n), so no float
+    boundary exists anywhere. At 10^12 rows the histogram is the only
+    affordable plan — exact quantiles cost a full sort per group — and
+    this row measures exactly what that buys and costs."""
+    ev = _ev(spark, sf_dir)
+    W = 100
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value_cents") / W).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    h = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    approx = h.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(p) * F.col("n"),
+                    (F.col("b") + 1) * W,
+                )
+            ).alias(f"approx_p{p}")
+            for p in (50, 95, 99)
+        ],
+    )
+    wrank = Window.partitionBy("event_type").orderBy("value_cents", "event_id")
+    r = ev.select(
+        "event_type", "value_cents", "event_id",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    exact = r.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.lit(p) * F.col("n") + 99) / F.lit(100)),
+                    F.col("value_cents"),
+                )
+            ).alias(f"exact_p{p}")
+            for p in (50, 95, 99)
+        ]
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type", "n",
+        "approx_p50", "exact_p50",
+        "approx_p95", "exact_p95",
+        "approx_p99", "exact_p99",
+    )
+
+
+ORACLE_QUANTILE_SKETCH = f"""
+WITH ev AS ({_EV_CENTS_SQL}),
+hist AS (
+  SELECT event_type, value_cents // 100 AS b, count(*) AS cnt
+  FROM ev GROUP BY event_type, b
+),
+h AS (
+  SELECT event_type, b, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+approx AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN cum * 100 >= 50 * n THEN (b + 1) * 100 END) AS approx_p50,
+         min(CASE WHEN cum * 100 >= 95 * n THEN (b + 1) * 100 END) AS approx_p95,
+         min(CASE WHEN cum * 100 >= 99 * n THEN (b + 1) * 100 END) AS approx_p99
+  FROM h GROUP BY event_type
+),
+r AS (
+  SELECT event_type, value_cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value_cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+exact AS (
+  SELECT event_type,
+         min(CASE WHEN rn = (50 * n + 99) // 100 THEN value_cents END) AS exact_p50,
+         min(CASE WHEN rn = (95 * n + 99) // 100 THEN value_cents END) AS exact_p95,
+         min(CASE WHEN rn = (99 * n + 99) // 100 THEN value_cents END) AS exact_p99
+  FROM r GROUP BY event_type
+)
+SELECT approx.event_type, n, approx_p50, exact_p50,
+       approx_p95, exact_p95, approx_p99, exact_p99
+FROM approx JOIN exact ON approx.event_type = exact.event_type
+"""
+
+
 # ------------------------------------------------------- documents / text
 
 _HTML_PREFIX = (
@@ -7951,13 +8057,14 @@ SELECT doc_id, source, q, round(pr, 6) AS pr FROM r WHERE pr <= 0.3
 
 
 # The driver's correctness gate caps at 50 rows, and dict order decides
-# who is in it. r6 rotation, final session: at 150 rows the cap is
+# who is in it. r6 rotation, final session: at 151 rows the cap is
 # spent ENTIRELY on rows with no driver-hash evidence — 49 never-
-# checked r6 rows (incl. all 16 late-session maintenance/retrieval/
+# checked r6 rows (incl. the late-session maintenance/retrieval/
 # chunking/join/similarity rows) plus knn_ivf, whose r5 check was
 # rows-only and whose oracle is new this round. The two planned
 # r3-staleness re-checks (union_set_ops, except_ops — trivial set ops
-# over unchanged fixtures) yielded their slots at idx 50/51:
+# over unchanged fixtures) yielded their slots, and dedup_url is the
+# one never-checked row the 50-cap cannot fit (idx 50, r7 lead):
 # never-checked beats stale-checked for the canonical CORRECTNESS
 # signal. Everything displaced (changed-decode JPEG rows, the
 # r4/r5-green backlog) is locally oracle-replayed by
@@ -7967,6 +8074,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- last green r3: lead the rotation ---
     "interval_join": (q_interval_join, ORACLE_INTERVAL_JOIN),
     "dedup_tfidf_cosine": (q_dedup_tfidf_cosine, ORACLE_DEDUP_TFIDF_COSINE),
+    "quantile_sketch": (q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
     # --- never hash-checked (new in r6; knn_ivf oracle is new) ---
     "multimodal_gif": (q_multimodal_gif, _mm_gif_oracle()),
     "multimodal_png_palette": (q_multimodal_png_palette, _mm_png_palette_oracle()),
