@@ -33,8 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def ledger_read(spark: SparkSession, ledger_dir: str) -> dict[int, dict]:
-    """Committed buckets → their metrics records."""
+def ledger_read(ledger_dir: str) -> dict[int, dict]:
+    """Committed buckets → their metrics records. Pure local-filesystem
+    JSON — no Spark involvement."""
     out: dict[int, dict] = {}
     if not os.path.isdir(ledger_dir):
         return out
@@ -72,8 +73,20 @@ def _bucket_ids(df: DataFrame, bucket_col: str, n_buckets: int | None) -> list:
     materialization in this operator. An empty declared bucket simply
     commits a zero-row ledger record, same as a filtered-out one."""
     if n_buckets is not None:
+        # NULL buckets (a NULL entity key) are detected for free inside
+        # run_with_checkpoint's write/read-back (they land in the
+        # default-partition dir and the count collect raises) — never
+        # by a pre-scan, which would cost a full job in the common
+        # no-null case and defeat the zero-job enumeration.
         return list(range(n_buckets))
-    return sorted(r[0] for r in df.select(bucket_col).distinct().collect())
+    ids = [r[0] for r in df.select(bucket_col).distinct().collect()]
+    if any(b is None for b in ids):
+        raise ValueError(
+            f"bucket column {bucket_col!r} contains NULLs; NULL is not a "
+            "checkpointable bucket id (isin/partitionBy both mishandle it) "
+            "— fix the upstream key"
+        )
+    return sorted(ids)
 
 
 def run_with_checkpoint(
@@ -107,7 +120,7 @@ def run_with_checkpoint(
     """
     spark = df.sparkSession
     buckets = _bucket_ids(df, bucket_col, n_buckets)
-    done = ledger_read(spark, ledger_dir)
+    done = ledger_read(ledger_dir)
     skipped = [b for b in buckets if b in done]
     pending = [b for b in buckets if b not in done]
     if max_buckets is not None:
@@ -116,7 +129,15 @@ def run_with_checkpoint(
         return {"processed": [], "skipped": skipped, "rows": 0}
 
     t0 = time.monotonic()
-    part = df.filter(F.col(bucket_col).isin(list(pending)))
+    keep = F.col(bucket_col).isin(list(pending))
+    if n_buckets is not None and df.schema[bucket_col].nullable:
+        # a NULL bucket (NULL entity key) would be SILENTLY dropped by
+        # isin (never matches NULL) while the run reports success. Let
+        # such rows through: partitionBy writes them to the
+        # _NULL_BUCKET_DIR partition, the read-back sees that key, and
+        # the run raises — zero extra jobs in the no-null case.
+        keep = keep | F.col(bucket_col).isNull()
+    part = df.filter(keep)
     if compute_fn is not None:
         part = compute_fn(part)
     # ONE distributed write; dynamic overwrite replaces only the pending
@@ -145,7 +166,10 @@ def run_with_checkpoint(
         counts = {
             r[0]: r[1]
             for r in spark.read.parquet(output_dir)
-            .filter(F.col(bucket_col).cast("string").isin([str(b) for b in pending]))
+            .filter(
+                F.col(bucket_col).cast("string").isin([str(b) for b in pending])
+                | F.col(bucket_col).isNull()
+            )
             .groupBy(bucket_col)
             .count()
             .collect()
@@ -154,6 +178,13 @@ def run_with_checkpoint(
         counts = {}  # nothing was written: zero rows for every bucket
     finally:
         spark.conf.set(infer_key, prev_infer)
+    if None in counts:
+        raise ValueError(
+            f"bucket column {bucket_col!r} contains NULLs ({counts[None]} "
+            "rows, quarantined under the default-partition dir); a declared "
+            "hash(entity) % B bucketing cannot produce them — fix the "
+            "upstream key (NULL rows are not checkpointable)"
+        )
     counts = {str(k): v for k, v in counts.items()}
     total_rows = 0
     for b in pending:
@@ -206,14 +237,20 @@ def run_with_checkpoint_iceberg(
     )
 
     spark = df.sparkSession
-    catalog = table.split(".")[0] if "." in table else "spark_catalog"
+    # only a THREE-part name pins an explicit catalog; 'db.tbl' resolves
+    # through the session's current catalog, so treating its first part
+    # as a catalog name would probe a nonexistent
+    # spark.sql.catalog.<db> conf and wrongly refuse a working
+    # Iceberg-backed SparkSessionCatalog setup
+    parts = table.split(".")
+    catalog = parts[0] if len(parts) >= 3 else spark.catalog.currentCatalog()
     if not iceberg_available(spark, catalog):
         raise RuntimeError(
             f"catalog {catalog!r} is not Iceberg-backed; use "
             "run_with_checkpoint (directory-partitioned parquet) instead"
         )
     buckets = _bucket_ids(df, bucket_col, n_buckets)
-    done = ledger_read(spark, ledger_dir)
+    done = ledger_read(ledger_dir)
     skipped = [b for b in buckets if b in done]
     pending = [b for b in buckets if b not in done]
     if max_buckets is not None:

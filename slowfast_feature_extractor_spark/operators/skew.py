@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from slowfast_feature_extractor_spark.operators.windows import emit_rate_aggs
 
 
+def shuffle_partition_count(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating non-numeric
+    settings ('auto' on AQE-managed platforms): fall back to the
+    cluster's default parallelism — the explicit-count repartitions
+    below only need a sane width, not the exact conf value."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def chunk_carries(
     base: DataFrame,
     entity: str,
@@ -92,7 +104,7 @@ def chunk_carries(
     # through a single Python worker (measured 7.8s -> 0.9s at 32
     # cores); an explicit-count repartition is exempt from AQE coalesce
     # and already satisfies the groupBy's clustering requirement
-    n_part = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(base.sparkSession)
     return (
         tails.repartition(n_part, entity)
         .groupBy(entity)
@@ -147,8 +159,13 @@ def sessionize_chunked(
     chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
     order_cols = [ts] + ([tiebreak] if tiebreak else [])
 
-    cols = list(df.columns)
-    base = df.withColumn("__chunk", chunk_expr)
+    # parity with the plain sessionizer's withColumn semantics: if the
+    # input already carries index/session columns (re-sessionizing with
+    # a different gap), REPLACE them — keeping them in the projection
+    # below would emit duplicate names and break the first downstream
+    # reference with AMBIGUOUS_REFERENCE
+    cols = [c for c in df.columns if c not in (index_col, session_col)]
+    base = df.drop(index_col, session_col).withColumn("__chunk", chunk_expr)
     carries = chunk_carries(base, entity, order_cols, slow_rows=1)
 
     merged = base.withColumn("__carry", F.lit(0)).unionByName(
@@ -157,7 +174,7 @@ def sessionize_chunked(
     # pin the window's partition count (AQE advisory-size coalescing
     # collapses byte-tiny (entity, chunk) shuffles — see the chunked
     # window operators above)
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(df.sparkSession)
     merged = merged.repartition(n_part, entity, "__chunk")
 
     w = Window.partitionBy(entity, "__chunk").orderBy(
@@ -251,7 +268,7 @@ def dual_rate_features_chunked(
     # coalesces to a handful of partitions and serializes the window
     # stage); explicit-count repartition is exempt and satisfies the
     # window's clustering requirement
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(df.sparkSession)
     merged = merged.repartition(n_part, entity, "__chunk")
     w = Window.partitionBy(entity, "__chunk").orderBy(
         *[F.col(c).asc() for c in order_cols]

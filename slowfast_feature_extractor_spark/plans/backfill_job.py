@@ -58,6 +58,10 @@ def run(cfg: FeaturizerConfig, spark=None) -> dict:
             ledger_dir=cfg.ledger_path,
             bucket_col="bucket",
             batch_id=cfg.batch_id,
+            # the bucket IS hash(url) % cfg.buckets — declare it so the
+            # id list is range(B) and no full-plan distinct shuffle runs
+            # just to enumerate it (VERDICT r5 #8)
+            n_buckets=cfg.buckets,
         )
         if os.path.isdir(cfg.output_path):
             audited = assert_no_leakage(

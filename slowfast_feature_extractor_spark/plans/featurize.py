@@ -33,6 +33,7 @@ from slowfast_feature_extractor_spark.operators.sessionize import sessionize  # 
 from slowfast_feature_extractor_spark.operators.skew import (
     chunk_carries,
     chunk_prefix_counts,
+    shuffle_partition_count,
 )
 from slowfast_feature_extractor_spark.operators.windows import dual_rate_features
 
@@ -53,27 +54,23 @@ def _plan_is_bare_scan(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    # every node that can EMIT MORE ROWS than its child: joins, explode
-    # (Generate), unions, cube/rollup (Expand), sampling with
+    # every node that can EMIT MORE ROWS than its child: joins
+    # (LateralJoin spelled out — \bJoin\b does not match inside it),
+    # explode (Generate), unions, cube/rollup (Expand), sampling with
     # replacement (Sample), and arbitrary-cardinality Python stages
     # (MapInPandas / FlatMap*) — footer totals bound none of these
     return not re.search(
-        r"\b(Join|Generate|Union|Expand|Sample|MapInPandas"
+        r"\b(Join|LateralJoin|Generate|Union|Expand|Sample|MapInPandas"
         r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|MapInArrow)\b",
         plan,
     )
 
 
-def _hot_entity_sketch(
-    df: DataFrame, entity: str, total: int, sample_rows: int = 200_000
-) -> float | None:
-    """DRIVER-side hot-entity estimate with ZERO Spark jobs: read the
-    ``entity`` column of parquet row groups spread evenly across the
-    scan's files (pyarrow, footers + a bounded number of column chunks),
-    then scale the sample's max multiplicity by total/sampled. A hot
-    entity at the chunking threshold occupies a visible fraction of any
-    evenly-spread sample; a miss merely keeps the plain plan (both plans
-    are value-exact, so the decision is performance-only)."""
+def _footer_rows_sampled(df: DataFrame, max_footers: int = 256) -> int | None:
+    """Zero-job row estimate for scans too wide for the exact footer
+    pass (:func:`similarity._estimate_rows` caps at 256 files): read an
+    evenly strided SAMPLE of footers and scale by the file count. A
+    performance-decision estimate, not a correctness input."""
     try:
         import pyarrow.parquet as pq
 
@@ -82,29 +79,70 @@ def _hot_entity_sketch(
         ]
         if not files or not all(f.endswith(".parquet") for f in files):
             return None
-        # one pass over footers to lay out (file, row_group) units
-        units: list[tuple[str, int]] = []
+        stride = max(1, len(files) // max_footers)
+        sample = files[::stride][:max_footers]
+        tot = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
+        return int(tot * len(files) / len(sample))
+    except Exception:
+        return None
+
+
+def _hot_entity_sketch(
+    df: DataFrame, entity: str, total: int, sample_rows: int = 200_000
+) -> float | None:
+    """DRIVER-side hot-entity estimate with ZERO Spark jobs: read the
+    ``entity`` column of parquet row groups spread evenly across the
+    WHOLE scan (pyarrow, footers + a bounded number of column chunks),
+    then scale the sample's max multiplicity by total/sampled (capped
+    at ``total``).
+
+    The sampled units are chosen up front from the full unit list —
+    never by reading in file order until a row budget fills, which
+    would confine the sample to the scan's head and blind the sketch
+    to hot entities living elsewhere. Known bias (documented, not
+    fixable by a cluster sample): on an entity-SORTED layout a sampled
+    row group is a contiguous run, so multiplicity × total/sampled can
+    overestimate — the penalty is choosing the chunked plan on a
+    uniform corpus (a bounded perf premium, BENCH/SKEW.md), never a
+    wrong answer; both plans are value-exact."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = [
+            f[7:] if f.startswith("file://") else f for f in df.inputFiles()
+        ]
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        # one pass over footers to lay out (file, row_group) units with
+        # their row counts
+        units: list[tuple[str, int, int]] = []
         for path in files:
             meta = pq.ParquetFile(path).metadata
-            units.extend((path, i) for i in range(meta.num_row_groups))
+            units.extend(
+                (path, i, meta.row_group(i).num_rows)
+                for i in range(meta.num_row_groups)
+            )
         if not units:
             return None
+        # pick the sample SET first — k units evenly strided across the
+        # whole list, k sized so expected rows ≈ sample_rows — then read
+        # all of it (no early break: coverage must span the entire scan)
+        avg = max(1, sum(u[2] for u in units) // len(units))
+        k = max(1, min(len(units), sample_rows // avg))
+        stride = max(1, len(units) // k)
+        chosen = units[::stride][:k]
+
         from collections import Counter
 
         counts: Counter = Counter()
         sampled = 0
-        # deterministic even spread: every k-th row group
-        stride = max(1, len(units) // 64)
-        for path, rg in units[::stride]:
+        for path, rg, _ in chosen:
             col = pq.ParquetFile(path).read_row_group(rg, columns=[entity])
-            vals = col.column(0).to_pylist()
-            counts.update(vals)
-            sampled += len(vals)
-            if sampled >= sample_rows:
-                break
+            counts.update(col.column(0).to_pylist())
+            sampled += col.num_rows
         if not sampled:
             return None
-        return counts.most_common(1)[0][1] * (total / sampled)
+        return min(float(total), counts.most_common(1)[0][1] * (total / sampled))
     except Exception:
         return None
 
@@ -146,7 +184,14 @@ def auto_chunk_decision(
     from slowfast_feature_extractor_spark.operators.similarity import _estimate_rows
 
     if _plan_is_bare_scan(df):
+        # exact footer total up to 256 files; above that, an evenly
+        # strided footer SAMPLE scaled by file count — still zero jobs.
+        # Without this, a >256-file table fell through to the eager
+        # count below, silently violating the zero-job-for-bare-scans
+        # contract exactly where the extra job is most expensive.
         est = _estimate_rows(df)
+        if est is None:
+            est = _footer_rows_sampled(df)
         if est is not None:
             if est < threshold:
                 return None
@@ -255,6 +300,15 @@ def featurize_pages(
     if chunk_trunc == "auto":
         chunk_trunc = auto_chunk_decision(pages, "url", auto_chunk_threshold)
     if chunk_trunc is not None:
+        # the chunked path branches df three ways (carry extraction,
+        # prefix counts, merged window pass); persist the thin post-UDF
+        # projection so the extraction UDF honours the Stage-1
+        # evaluated-EXACTLY-once invariant instead of re-running per
+        # branch (pit_dual_rate_chunked_from does the same for its
+        # sessionized stream)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         windowed = _windowed_chunked(df, order, fast_rows, slow_rows, chunk_trunc)
     else:
         windowed = _windowed_plain(df, order, fast_rows, slow_rows)
@@ -354,7 +408,7 @@ def _windowed_chunked(
     # stage (measured: 139 day-chunks ran on 5 partitions, 8.8s vs 2.6s);
     # an explicit-count repartition is exempt from AQE coalesce and
     # already satisfies the window's clustering requirement
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(df.sparkSession)
     merged = merged.repartition(n_part, "url", "__chunk")
     w = Window.partitionBy("url", "__chunk").orderBy(*[F.col(c).asc() for c in order])
     fast_frame = w.rowsBetween(-fast_rows, -1)

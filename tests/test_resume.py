@@ -77,8 +77,8 @@ def test_declared_buckets_skip_distinct_scan(spark, tmp_path):
     )
     assert len(r1["processed"]) == 3 and r2["skipped"] == r1["processed"]
     assert _rows(spark, decl_out) == _rows(spark, disc_out)
-    led_a = {b: rec["n_rows"] for b, rec in ledger_read(spark, disc_led).items()}
-    led_b = {b: rec["n_rows"] for b, rec in ledger_read(spark, decl_led).items()}
+    led_a = {b: rec["n_rows"] for b, rec in ledger_read(disc_led).items()}
+    led_b = {b: rec["n_rows"] for b, rec in ledger_read(decl_led).items()}
     # discovery only sees buckets with rows; the declared path also
     # commits zero-row records for declared-but-empty buckets (so the
     # batch converges without rescanning them on resume)
@@ -100,7 +100,7 @@ def test_ledger_metrics(spark, tmp_path):
     df = _inputs(spark)
     out, led = str(tmp_path / "o"), str(tmp_path / "l")
     run_with_checkpoint(df, out, led, compute_fn=_compute, batch_id="b7")
-    recs = ledger_read(spark, led)
+    recs = ledger_read(led)
     assert set(recs) == {r[0] for r in df.select("bucket").distinct().collect()}
     total = sum(rec["n_rows"] for rec in recs.values())
     assert total == read_output(spark, out).count()
@@ -153,7 +153,7 @@ def test_string_numeric_bucket_ids_count_correctly(spark, tmp_path):
         ev, str(tmp_path / "out"), str(tmp_path / "ledger"), bucket_col="bucket"
     )
     assert res["rows"] == 200
-    led = ledger_read(spark, str(tmp_path / "ledger"))
+    led = ledger_read(str(tmp_path / "ledger"))
     assert set(led) == {"0", "1", "2"}
     total = sum(
         r["n_rows"]
@@ -183,3 +183,22 @@ def test_zero_row_compute_fn_converges(spark, tmp_path):
         compute_fn=lambda part: part.filter(F.lit(False)),
     )
     assert res2["processed"] == [] and len(res2["skipped"]) == n_buckets
+
+
+def test_null_bucket_ids_rejected(spark, tmp_path):
+    """NULL bucket ids fail loudly on BOTH paths instead of crashing
+    (discovery: sorted() over None) or silently dropping rows
+    (declared: isin never matches NULL)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (None, 2.0), (1, 3.0)], "bucket int, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        run_with_checkpoint(
+            df, str(tmp_path / "out_a"), str(tmp_path / "led_a")
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        run_with_checkpoint(
+            df, str(tmp_path / "out_b"), str(tmp_path / "led_b"), n_buckets=2
+        )

@@ -296,3 +296,62 @@ def test_chunked_dual_rate_parity_with_null_ts_rows(spark):
     a = sorted((tuple(r) for r in plain.select(*cols).collect()), key=str)
     b = sorted((tuple(r) for r in chunked.select(*cols).collect()), key=str)
     assert a == b
+
+
+def test_shuffle_partition_count_tolerates_auto(spark):
+    """'auto' (AQE-managed platforms; OSS Spark refuses to even set it,
+    so a duck-typed session stands in) must not crash plan composition;
+    a numeric conf passes through unchanged."""
+    from slowfast_feature_extractor_spark.operators.skew import (
+        shuffle_partition_count,
+    )
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 8
+
+    class _FakeSpark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_partition_count(_FakeSpark()) == 8
+    n = shuffle_partition_count(spark)  # real session: numeric conf
+    assert n == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_sessionize_chunked_resessionize_no_duplicate_columns(spark):
+    """Re-sessionizing an already-sessionized frame REPLACES the
+    index/session columns (plain-sessionizer parity) instead of
+    emitting ambiguous duplicates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from slowfast_feature_extractor_spark.operators.sessionize import sessionize
+    from slowfast_feature_extractor_spark.operators.skew import sessionize_chunked
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0), 1),
+        ("u", dt.datetime(2024, 1, 1, 3, 0), 2),
+        ("u", dt.datetime(2024, 1, 2, 0, 0), 3),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, event_id long")
+    once = sessionize_chunked(
+        df, entity="url", ts="warc_ts", gap_seconds=3600.0, tiebreak="event_id"
+    )
+    again = sessionize_chunked(
+        once, entity="url", ts="warc_ts", gap_seconds=7200.0, tiebreak="event_id"
+    )
+    assert again.columns.count("session_idx") == 1
+    assert again.columns.count("session_id") == 1
+    plain = sessionize(
+        once, entity="url", ts="warc_ts", gap_seconds=7200.0, tiebreak="event_id"
+    )
+    got = {(r["event_id"], r["session_idx"]) for r in again.collect()}
+    want = {(r["event_id"], r["session_idx"]) for r in plain.collect()}
+    assert got == want
+    # the filter that used to raise AMBIGUOUS_REFERENCE
+    assert again.filter(F.col("session_idx") >= 0).count() == 3
