@@ -240,3 +240,58 @@ def test_interval_join_buckets_exactly_once(spark):
     assert got == [100, 101, 102]  # each exactly once, boundaries closed
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    wins=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 300), st.integers(0, 200)),
+        min_size=1, max_size=10,
+    ),
+    evs=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 500)),
+        min_size=1, max_size=25,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark_for_hypothesis, wins, evs):
+    """For ANY window/event layout (including windows spanning many
+    buckets and zero-length windows), the bucketed equi-join emits
+    exactly the brute-force closed-interval matches, each once."""
+    import datetime as dt
+
+    from slowfast_feature_extractor_spark.operators.asof_join import interval_join
+
+    spark = spark_for_hypothesis
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    w_rows = [
+        (k, i, t0 + s * m, t0 + (s + dur) * m)
+        for i, (k, s, dur) in enumerate(wins)
+    ]
+    e_rows = [(k, t0 + s * m, j) for j, (k, s) in enumerate(evs)]
+    wdf = spark.createDataFrame(
+        w_rows, "k long, win_id long, w_start timestamp, w_end timestamp"
+    )
+    edf = spark.createDataFrame(e_rows, "k long, ts timestamp, eid long")
+    got = {
+        (r["win_id"], r["eid"])
+        for r in interval_join(
+            wdf, edf, ["k"], "w_start", "w_end", "ts", bucket_seconds=3600
+        ).collect()
+    }
+    want = {
+        (wi, ej)
+        for (wk, wi, ws, we) in w_rows
+        for (ek, et, ej) in e_rows
+        if wk == ek and ws <= et <= we
+    }
+    assert got == want
+    # exactly-once: the collect above is a set; recount with duplicates
+    n = interval_join(
+        wdf, edf, ["k"], "w_start", "w_end", "ts", bucket_seconds=3600
+    ).count()
+    assert n == len(want)

@@ -277,3 +277,54 @@ def test_zorder_key_invertible_property(spark_for_hypothesis, pts):
         x = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
         y = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
         assert (x, y) == (r["x"], r["y"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 4),          # key
+            st.integers(0, 50),         # ts offset (may collide)
+            st.booleans(),              # delete?
+            st.integers(0, 9),          # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cdc_merge_fold_property(spark_for_hypothesis, ops):
+    """For ANY op sequence, cdc_merge(base, changes) equals a Python
+    fold of the ops in (ts, eid) order: the latest op per key decides
+    presence and value; earlier ops are irrelevant."""
+    spark = spark_for_hypothesis
+    base_rows = [(1, 100.0), (2, 200.0)]
+    rows = [
+        (k, _ts(1, 0) + dt.timedelta(minutes=off), eid, "D" if d else "U",
+         None if d else float(v))
+        for eid, (k, off, d, v) in enumerate(ops)
+    ]
+    base = spark.createDataFrame(base_rows, "k long, v double")
+    changes = spark.createDataFrame(
+        rows, "k long, ts timestamp, eid long, op string, v double"
+    )
+    out = {
+        r["k"]: (r["v"], r["action"])
+        for r in MT.cdc_merge(base, changes, ["k"], ["ts", "eid"]).collect()
+    }
+    # reference fold: last op per key in (ts, eid) order
+    last: dict[int, tuple] = {}
+    for k, ts, eid, op, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        last[k] = (op, v)
+    base_d = dict(base_rows)
+    for k in set(base_d) | set(last):
+        if k in last:
+            op, v = last[k]
+            if op == "D":
+                assert out[k] == (None, "delete")
+            elif k in base_d:
+                assert out[k] == (v, "update")
+            else:
+                assert out[k] == (v, "insert")
+        else:
+            assert out[k] == (base_d[k], "unchanged")
+    assert set(out) == set(base_d) | set(last)
