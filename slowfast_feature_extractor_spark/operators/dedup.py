@@ -208,33 +208,44 @@ def _pair_intersections(
     the registry oracles apply the identical cap).
 
     Returns ``(inter(id_a, id_b, inter), sizes(id, sz))``.
-    """
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .filter(F.col("df_cnt") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    # exploded inverted-index sides are far larger than Catalyst's
-    # pre-explode size estimate — pin a MERGE join: it forbids AQE from
-    # broadcasting a multi-million-row build side (measured: 5x
-    # run-to-run variance when it does) AND it spills. shuffle_hash was
-    # ~25% faster here (skips two sorts) but its build map CANNOT
-    # spill: at 3.2M docs x local[4] the per-partition build side blew
-    # past task memory and the job died with SparkOutOfMemoryError —
-    # a hard scale ceiling sort-merge does not have (r3, measured).
-    inter = (
-        a.hint("merge").join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    Shape (r7): ONE shuffle of the (id, shingle) index groups the
+    posting list per shingle (sorted id array, capped by the df filter);
+    ordered pairs then come from chained explodes over each array — the
+    r6 merge SELF-join shuffled the index twice, sorted both sides, and
+    materialized df² ordered pairs before the ``id_a < id_b`` filter
+    (2× the C(df,2) combinations emitted here), which dominated the
+    all-pairs scorers' wall (dedup_jaccard 14.9 s, dedup_containment
+    28.8 s at sf1.0). The grouped index is persisted: sizes and pairs
+    both read it, so the shingle explode+hash runs once. The worst-case
+    aggregation buffer is one hot shingle's FULL posting list (the cap
+    filters after collection); at web scale feed this a pre-capped
+    index if a shingle's df can reach memory-hostile sizes.
+    """
+    from pyspark import StorageLevel
+
+    grp = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
+    if max_shingle_df is not None:
+        grp = grp.filter(F.size("ids") <= max_shingle_df)
+    grp = grp.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        grp.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pairs = (
+        grp.filter(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     return inter, sizes
 
 
@@ -876,52 +887,93 @@ def simhash_pairs(
     hash_col: str = "simhash",
     n_bits: int = 16,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming, via banded
-    pigeonhole blocking: split the ``n_bits`` signature into
-    ``max_hamming + 1`` contiguous bit-bands — any pair within distance d
-    must agree exactly on at least one band — so candidates come from an
-    equi-join on (band index, band value) instead of an O(n²) cross
-    join (the same blocking shape as :func:`minhash_lsh_candidates`).
-    Exact popcount(xor) verification runs only on candidates.
-    Output (id_a, id_b, hamming)."""
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    The signature space is only 2^``n_bits`` values, so all blocking
+    runs over DISTINCT signatures, not docs: group ids per signature
+    (one partial-aggregatable shuffle of (id, h) rows), then
+
+    - hamming 0: in-group ordered combinations of the sorted id array
+      (two chained explodes — no join at all);
+    - hamming 1..d: the banded pigeonhole join (any pair within
+      distance d agrees on one of d+1 contiguous bit-bands) over the
+      ≤2^n_bits-row signature-group table, popcount verified once per
+      SIGNATURE pair, then the two id arrays expanded.
+
+    The r6 version banded the per-DOC table: with n docs over at most
+    2^n_bits distinct values every duplicated signature re-verified the
+    same xor per doc pair and the candidate join scaled ~n²/2^(band
+    bits) — measured 1.6 s at sf0.1 → 56.9 s at sf1.0 on the 16-bit
+    registry row. Distinct-signature blocking makes candidate volume
+    ∝ output size, independent of duplication. Output
+    (id_a, id_b, hamming)."""
+    from pyspark import StorageLevel
+
+    groups = (
+        sim.groupBy(F.col(hash_col).alias("h"))
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # hamming = 0: ordered combinations within one signature group
+    e1 = groups.filter(F.size("ids") >= 2).select(
+        "ids", F.posexplode("ids").alias("__i", "id_a")
+    )
+    same = e1.select(
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
+    ).withColumn("hamming", F.lit(0))
+    if max_hamming == 0:
+        return same.select("id_a", "id_b", "hamming")
+
+    # hamming 1..d: banded join over distinct signatures only
     n_bands = max_hamming + 1
     edges = [round(k * n_bits / n_bands) for k in range(n_bands + 1)]
+    hs = groups.select("h")
     per_band = []
     for k in range(n_bands):
         lo, hi = edges[k], edges[k + 1]
-        band_val = F.shiftright(F.col(hash_col), lo).bitwiseAND(
+        band_val = F.shiftright(F.col("h"), lo).bitwiseAND(
             F.lit((1 << (hi - lo)) - 1)
         )
         per_band.append(
-            sim.select(
-                F.lit(k).alias("band"),
-                band_val.alias("bucket"),
-                F.col(id_col).alias("id"),
-                F.col(hash_col).alias("h"),
-            )
+            hs.select(F.lit(k).alias("band"), band_val.alias("bucket"), "h")
         )
     banded = per_band[0]
     for p in per_band[1:]:
         banded = banded.unionByName(p)
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    # banded tables are exploded n_bands× past Catalyst's size estimate —
-    # pin a merge join so AQE never broadcasts a misestimated side and
-    # the build side stays spillable (same guard as the inverted-index
-    # joins above)
-    cand = (
-        a.hint("merge").join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()  # a pair may collide in several bands
-    )
+    a = banded.select("band", "bucket", F.col("h").alias("h_a"))
+    b = banded.select("band", "bucket", F.col("h").alias("h_b"))
     x = F.col("h_a").bitwiseXOR(F.col("h_b"))
     pop = None
     for j in range(n_bits):
         t = F.shiftright(x, j).bitwiseAND(F.lit(1))
         pop = t if pop is None else pop + t
-    return (
-        cand.withColumn("hamming", pop)
+    sig_pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("h_a") < F.col("h_b"))
+        .select("h_a", "h_b")
+        .distinct()  # a signature pair may collide in several bands
+        .withColumn("hamming", pop)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    cross = (
+        sig_pairs.join(
+            groups.select(F.col("h").alias("h_a"), F.col("ids").alias("ids_a")),
+            "h_a",
+        )
+        .join(
+            groups.select(F.col("h").alias("h_b"), F.col("ids").alias("ids_b")),
+            "h_b",
+        )
+        .select("hamming", F.explode("ids_a").alias("__ia"), "ids_b")
+        .select("hamming", "__ia", F.explode("ids_b").alias("__ib"))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.select("id_a", "id_b", "hamming").unionByName(cross)

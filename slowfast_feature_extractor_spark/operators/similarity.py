@@ -308,8 +308,6 @@ def embedding_neardup_blocked(
     ``n_blocks`` overrides the per-bucket block count (tests /
     non-file sources at production scale).
     """
-    import numpy as np
-
     bucket = sign_bucket(F.col(vec_col), bits) if bits is not None else F.lit(0)
     src = df.select(
         F.col(id_col).alias("__id"),
@@ -337,6 +335,22 @@ def embedding_neardup_blocked(
             )
             .drop("__cnt")
         )
+    return _blocked_pair_hits(src, threshold, rows_per_block, strip_rows)
+
+
+def _blocked_pair_hits(
+    src: DataFrame,
+    threshold: float,
+    rows_per_block: int = 4096,
+    strip_rows: int = 2048,
+) -> DataFrame:
+    """Block-pair GEMM scorer shared by :func:`embedding_neardup_blocked`
+    and :func:`semantic_dedup`'s cell-local prune. ``src`` must carry
+    (__id, __v, __bkt, __nb) where ``__nb`` is the per-bucket block
+    count; emits (id_a, id_b, sim) for every same-bucket pair with
+    round(cosine, 6) >= ``threshold`` and id_a < id_b."""
+    import numpy as np
+
     src = src.withColumn(
         "__blk", F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int")
     )
@@ -601,12 +615,17 @@ def semantic_dedup(
 
     Scale shape: the seed table is k rows — broadcast against one corpus
     scan; assignment is a partial-aggregatable groupBy max(struct) (no
-    window over the n·k scored rows); the prune join is CELL-LOCAL
-    (shuffle on the cell key, pairs only within a cell — Σ|cell|² work,
-    the SemDeDup contract, never the n² all-pairs), and the removed set
-    re-joins the assignment by id. Ties in the argmax (equal rounded
-    sim to two seeds) break to the lowest seed id — deterministic on
-    both engines."""
+    window over the n·k scored rows); the prune is CELL-LOCAL and runs
+    as blocked GEMM (:func:`_blocked_pair_hits` keyed by cell — Σ|cell|²
+    FLOPs inside bounded block-pair groups, the SemDeDup contract, never
+    the n² all-pairs and never a pair JOIN materializing both vectors
+    per pair: the r6 pair-join prune shuffled O(Σ|cell|²) ~1 KB rows and
+    scaled quadratically — measured 2.7 s at sf0.1 vs 70 s at sf1.0),
+    and the removed set re-joins the assignment by id. Ties in the
+    argmax (equal rounded sim to two seeds) break to the lowest seed
+    id — deterministic on both engines."""
+    from pyspark import StorageLevel
+
     dim = _infer_dim(df, vec_col)
     normed = _with_norm(df, vec_col, "__n", dim).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "__n"
@@ -639,28 +658,20 @@ def semantic_dedup(
         )
         .select("id", F.col("m.cell").alias("cell"))
     )
-    cells = normed.join(assign, "id")
-    a = cells.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        F.col("__n").alias("__na"), "cell",
-    )
-    b = cells.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        F.col("__n").alias("__nb"), "cell",
+    # three consumers below (per-cell counts, the GEMM src, the output
+    # join): persist so the seed-scoring assignment runs once per
+    # execution instead of three times
+    cells = normed.join(assign, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__cnt"))
+    rows_per_block = 4096
+    src = cells.join(F.broadcast(counts), "cell").select(
+        F.col("id").alias("__id"),
+        F.col("v").alias("__v"),
+        F.col("cell").alias("__bkt"),
+        F.ceil(F.col("__cnt") / F.lit(rows_per_block)).cast("int").alias("__nb"),
     )
     removed = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim",
-            F.round(
-                _pair_cosine(
-                    F.col("v_a"), F.col("v_b"), F.col("__na"), F.col("__nb"), dim
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("sim") >= threshold)
+        _blocked_pair_hits(src, threshold, rows_per_block)
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__rm", F.lit(True))

@@ -1987,7 +1987,13 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(TS.shingles(F.col("text"), 3)).alias("w")
     ).select("source", DD.md5i64(F.col("w")).alias("h"))
-    regs = toks.select(
+    # ONE cascade instead of the r6 regs/exact twin pipelines (which
+    # evaluated the shingle explode + md5 twice and joined at the end):
+    # distinct (source, h) first, then per-register max(rho) ALONG WITH
+    # the register's distinct-hash count — exact_distinct per source is
+    # exactly the sum of those counts because reg = h % m partitions the
+    # distinct hashes. Every stage partial-aggregates map-side.
+    dist = toks.distinct().select(
         "source",
         (F.col("h") % m).alias("reg"),
         F.shiftright("h", 10).alias("w2"),
@@ -1998,15 +2004,15 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(51) - F.length(F.expr("bin(w2)")))
         .alias("rho"),
     )
-    per_reg = regs.groupBy("source", "reg").agg(F.max("rho").alias("mj"))
+    per_reg = dist.groupBy("source", "reg").agg(
+        F.max("rho").alias("mj"), F.count(F.lit(1)).alias("nd")
+    )
     agg = per_reg.groupBy("source").agg(
         F.count(F.lit(1)).cast("int").alias("n_regs"),
         F.sum(F.pow(F.lit(2.0), 50 - F.col("mj")).cast("long"))
         .cast("long")
         .alias("sum_present"),
-    )
-    exact = toks.groupBy("source").agg(
-        F.countDistinct("h").cast("long").alias("exact_distinct")
+        F.sum("nd").cast("long").alias("exact_distinct"),
     )
     zeros = F.lit(m) - F.col("n_regs")
     sum_scaled = F.col("sum_present") + zeros.cast("long") * F.lit(1 << 50)
@@ -2017,7 +2023,7 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(e_raw)
-    return agg.join(exact, "source").select(
+    return agg.select(
         "source",
         "n_regs",
         zeros.cast("int").alias("zeros"),
@@ -6016,8 +6022,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.filter("is_new").join(old_h, "h", "left_semi").select("doc_id")
         .withColumn("exact", F.lit(True))
     )
-    sigs = DD.minhash_signatures(d, num_hashes=_N_MINHASH).join(
-        d.select(F.col("doc_id").alias("id"), is_new.alias("is_new")), "id"
+    # is_new is a pure function of the id — derive it on the signature
+    # rows instead of joining the corpus back in (the r6 join re-scanned
+    # documents and shuffled n rows just to re-attach (doc_id % 10) >= 8)
+    sigs = DD.minhash_signatures(d, num_hashes=_N_MINHASH).withColumn(
+        "is_new", (F.col("id") % 10) >= 8
     )
     rows = _N_MINHASH // _N_BANDS
     per_band = []
