@@ -128,7 +128,16 @@ def asof_join(
 
     part_keys = list(by)
     if chunk is not None:
-        merged = merged.withColumn("__chunk", chunk)
+        from pyspark import StorageLevel
+
+        # TWO consumers below (the per-chunk-last carry aggregate and
+        # the union's base side): without a persist each re-evaluates
+        # the full left+right upstream — in composed plans
+        # (pit_dual_rate_chunked_from) that is the entire chunked
+        # window pipeline twice
+        merged = merged.withColumn("__chunk", chunk).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         # latest right row per (by, chunk): struct max == latest (ts,
         # payload) — one row per chunk, a tiny relation
         # every chunk (left-only chunks included — they still need a

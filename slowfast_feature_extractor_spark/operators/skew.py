@@ -25,7 +25,7 @@ Equality with the single-partition operator is exact and tested
 
 from __future__ import annotations
 
-import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,7 +55,22 @@ def chunk_carries(
     re-labelled with the chunk they carry into. ``base`` must already
     hold a ``__chunk`` column monotone (per entity) in the order
     columns. Shared by the chunked dual-rate operator and the chunked
-    flagship (plans/featurize.py)."""
+    flagship (plans/featurize.py).
+
+    Pure JVM (r7): carry(chunk k) = the last ``slow_rows`` rows, by
+    (chunk, order), among tail rows with chunk < k — tail rows outside
+    their own chunk's last ``slow_rows`` can never re-enter any later
+    suffix, so folding tails sequentially (the r6 pandas applyInPandas
+    pass) and slicing the prior-tails suffix are the SAME set. The r6
+    fold shipped every tail row through Python and paid per-entity
+    pandas-group overhead: on the sf1.0 events fixture entities are
+    sparse (~8 rows per chunk < slow_rows), so tails = the WHOLE table
+    and the fold was the top stage of every chunked operator (~75 s of
+    the 92 s executor total, 40× runtime/cpu Python wait). Here the
+    per-entity fold is a sort_array/filter/slice cascade inside
+    whole-stage codegen; a null chunk (null ts) sorts first in both
+    engines' orderings and seeds every later chunk's carry, matching
+    the fold's na_position='first'."""
     # --- per-chunk tails: last slow_rows rows of each (entity, chunk) —
     # a distributed window; hot entities already split across chunks here
     w_desc = Window.partitionBy(entity, "__chunk").orderBy(
@@ -67,48 +82,44 @@ def chunk_carries(
         .drop("__rn")
     )
 
-    # --- fold tails per entity: carry for chunk k = last slow_rows rows
-    # before chunk k (sequential only over chunks × slow_rows tail rows)
-    carry_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in tails.schema.fields]
+    payload = [c for c in tails.columns if c != entity]
+    # (__chunk, *order_cols) leads the struct so sort_array orders by the
+    # fold's sort key; the full payload struct rides behind it
+    order_fields = ["__chunk", *order_cols]
+    rest = [c for c in payload if c not in order_fields]
+    per_ent = tails.groupBy(entity).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c).alias(f"__k{i}") for i, c in enumerate(order_fields)],
+                    F.struct(*[F.col(c) for c in rest]).alias("__p"),
+                )
+            )
+        ).alias("__arr")
     )
-
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        # na_position='first' + factorize grouping: Spark windows order
-        # NULLS FIRST, so a null chunk (null ts) is the entity's
-        # EARLIEST chunk and must seed the carries — pandas' groupby
-        # default would silently DROP the NaT group, and its sort=True
-        # would place it last
-        pdf = pdf.sort_values(
-            ["__chunk", *order_cols], kind="mergesort", na_position="first"
-        )
-        codes, _ = pd.factorize(pdf["__chunk"], use_na_sentinel=False)
-        out = []
-        carry = pdf.iloc[0:0]
-        for _, rows in pdf.groupby(codes, sort=False):
-            c = rows["__chunk"].iloc[0]
-            if len(carry):
-                tgt = carry.copy()
-                tgt["__chunk"] = c
-                out.append(tgt)
-                carry = pd.concat([carry, rows]).iloc[-slow_rows:]
-            else:  # avoid concat-with-empty (pandas deprecation)
-                carry = rows.iloc[-slow_rows:]
-        if not out:
-            return pdf.iloc[0:0]
-        return pd.concat(out)
-
-    # pin the fold's partition count: the tails relation is tiny in
-    # BYTES, so AQE's advisory-size coalescing would collapse it to ONE
-    # partition and serialize thousands of per-entity pandas folds
-    # through a single Python worker (measured 7.8s -> 0.9s at 32
-    # cores); an explicit-count repartition is exempt from AQE coalesce
-    # and already satisfies the groupBy's clustering requirement
-    n_part = shuffle_partition_count(base.sparkSession)
-    return (
-        tails.repartition(n_part, entity)
-        .groupBy(entity)
-        .applyInPandas(_fold, schema=carry_schema)
+    chunks = F.array_distinct(
+        F.transform(F.col("__arr"), lambda x: x["__k0"])
+    )
+    exploded = per_ent.select(
+        entity, "__arr", F.posexplode(chunks).alias("__ki", "__tgt")
+    ).filter(F.col("__ki") >= 1)
+    prior = F.filter(
+        F.col("__arr"),
+        lambda x: x["__k0"].isNull() | (x["__k0"] < F.col("__tgt")),
+    )
+    carry = F.slice(
+        prior, F.greatest(F.size(prior) - F.lit(slow_rows - 1), F.lit(1)),
+        slow_rows,
+    )
+    out = exploded.select(
+        entity, F.col("__tgt").alias("__chunk"), F.explode(carry).alias("__e")
+    )
+    e = F.col("__e")
+    return out.select(
+        entity,
+        *[e.getField(f"__k{i + 1}").alias(c) for i, c in enumerate(order_cols)],
+        *[e.getField("__p").getField(c).alias(c) for c in rest],
+        "__chunk",
     )
 
 
@@ -190,6 +201,13 @@ def sessionize_chunked(
     local = merged.withColumn("__local_idx", F.sum(is_new).over(run)).filter(
         F.col("__carry") == 0
     )
+    # TWO consumers (the output rows and the per-chunk session-start
+    # prefix): without a persist the starts branch re-executes the whole
+    # scan→tails→fold→union→window chain — the projections differ, so
+    # Catalyst plans twin subtrees and ReusedExchange never fires
+    # (measured: the twin 48-task map stages were the top-2 stages of
+    # the sf1.0 profile, ~250 s of the 287 s total executor time)
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
 
     starts = local.groupBy(entity, "__chunk").agg(
         F.max("__local_idx").alias("__starts")
@@ -230,8 +248,14 @@ def dual_rate_features_chunked(
     round_to: int | None = None,
     prefix_fast: str = "fast",
     prefix_slow: str = "slow",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Skew-robust equivalent of ``windows.dual_rate_features``.
+
+    ``carry_cols`` are extra input columns carried verbatim through the
+    window pass into the output (inert in every aggregate/order) — they
+    let a composition filter/annotate the feature rows directly instead
+    of joining the source back in on the row key.
 
     Returns a slim feature table keyed by (entity, ts[, tiebreak]) with
     the same aggregate columns ({fast,slow}_{avg,sum,min,max,cnt},
@@ -252,7 +276,7 @@ def dual_rate_features_chunked(
     chunk_expr = F.to_date(F.col(ts)) if chunk is None else chunk
     order_cols = [ts] + ([tiebreak] if tiebreak else [])
 
-    keep = [entity, *order_cols, measure]
+    keep = [entity, *order_cols, measure, *carry_cols]
     base = df.select(*keep).withColumn("__chunk", chunk_expr)
 
     carries = chunk_carries(base, entity, order_cols, slow_rows)
@@ -295,6 +319,7 @@ def dual_rate_features_chunked(
         entity,
         *order_cols,
         measure,
+        *carry_cols,
         *[f"{p}_{a}" for p in (prefix_fast, prefix_slow)
           for a in ("avg", "sum", "min", "max", "cnt")],
         "n_hist_rows",

@@ -545,13 +545,16 @@ def pit_dual_rate_chunked_from(
 
     ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # event_type/session_idx ride through the window pass (inert carry
+    # columns), so the click rows are a FILTER on the feature table —
+    # the r6 plan re-read the persisted stream a third time and paid a
+    # 1M-row equi-join on (user, ts, event_id) just to re-attach
+    # session_idx to its own rows
     feats = dual_rate_features_chunked(
         ev, entity="user_id", ts="ts", measure="value_cents",
         fast_rows=fast_rows, slow_rows=slow_rows, strict=True,
         tiebreak="event_id", chunk=chunk,
-    ).select(
-        "user_id", "ts", "event_id",
-        "fast_avg", "fast_cnt", "slow_avg", "slow_cnt",
+        carry_cols=("event_type", "session_idx"),
     )
 
     views = ev.filter(F.col("event_type") == "view")
@@ -566,9 +569,7 @@ def pit_dual_rate_chunked_from(
     )
 
     clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", "ts", "event_id", "session_idx")
-        .join(feats, ["user_id", "ts", "event_id"])
+        feats.filter(F.col("event_type") == "click")
         .select(
             "user_id", "ts", "event_id", "session_idx",
             F.round("fast_avg", 6).alias("fast_avg"),

@@ -63,7 +63,21 @@ def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
     except Exception:
         pass  # non-file source: fall through to the partition probe
     if df.rdd.getNumPartitions() < threshold:
-        return df.repartition(target)
+        from pyspark.sql import functions as F
+
+        # The repartition alone is NOT enough: Catalyst pushes every
+        # deterministic filter back through a Repartition to the scan,
+        # so an expensive predicate (language gate, quality score —
+        # whole split/filter cascades over text) runs inside the
+        # SINGLE-SPLIT scan task and serializes the query no matter how
+        # many cores exist (measured: the corpus-clean chain at sf1.0 is
+        # 5.1 s with the filter at the scan vs 1.3 s spread over 32
+        # cores). The tautological nondeterministic filter is a pushdown
+        # barrier — CombineFilters/PushPredicateThroughNonJoin refuse to
+        # cross a nondeterministic condition — while costing one integer
+        # compare per row; column pruning is attribute-based and still
+        # reaches the scan through it.
+        return df.repartition(target).where(F.spark_partition_id() >= 0)
     return df
 
 

@@ -129,10 +129,10 @@ def test_auto_chunk_decision(spark, pages_df):
 
     plain = featurize_pages(pages_df)  # auto -> plain on uniform data
     chunked = featurize_pages(pages_df, auto_chunk_threshold=2)  # auto -> chunked
-    # the chunked temporal stage folds carries in applyInPandas; the
-    # plain plan has no grouped-map python node
-    assert "FlatMapGroupsInPandas" not in plan(plain)
-    assert "FlatMapGroupsInPandas" in plan(chunked)
+    # the chunk-carry machinery's fingerprint is the __chunk key column
+    # (r7: the carry fold is pure JVM — no grouped-map python node)
+    assert "__chunk" not in plan(plain)
+    assert "__chunk" in plan(chunked)
 
 
 def test_chunked_flagship_rejects_bad_args(pages_df):
@@ -171,7 +171,7 @@ def test_auto_chunk_zero_jobs_on_bare_scan(spark, tmp_path, pages_pd):
     before = tracker.getJobIdsForGroup(None)
     out = featurize_pages(df, auto_chunk_threshold=50_000)  # plan only
     assert tracker.getJobIdsForGroup(None) == before
-    assert "FlatMapGroupsInPandas" not in out._jdf.queryExecution().toString()
+    assert "__chunk" not in out._jdf.queryExecution().toString()
 
     # case 2: total ABOVE threshold, uniform corpus -> the pyarrow
     # sketch sees no hot entity -> plain, still zero jobs

@@ -257,10 +257,12 @@ def test_pit_flagship_auto_chunk_dispatch(spark):
     def plan(df):
         return df._jdf.queryExecution().toString()
 
+    # the chunk-carry machinery's fingerprint is the __chunk key column
+    # (r7: the carry fold is pure JVM — no grouped-map Python node left)
     auto_plain = pit_dual_rate_auto(ev)  # uniform corpus -> plain arm
-    assert "FlatMapGroupsInPandas" not in plan(auto_plain)
+    assert "__chunk" not in plan(auto_plain)
     auto_chunked = pit_dual_rate_auto(ev, chunk_threshold=2)  # forced skew arm
-    assert "FlatMapGroupsInPandas" in plan(auto_chunked)
+    assert "__chunk" in plan(auto_chunked)
 
     key = ["user_id", "ts", "event_id"]
     a = pit_dual_rate_from(ev).sort(*key).collect()
