@@ -408,13 +408,16 @@ def lsh_params(
     return best[0], best[3]
 
 
-def minhash_lsh_candidates(
+def band_buckets(
     signatures: DataFrame, num_hashes: int, bands: int, hash_fn: str = "md5"
 ) -> DataFrame:
-    """Band the signature (rows-per-band = num_hashes/bands); docs whose
-    band hashes collide are candidates. Band buckets are int64 so the
-    banded self-join shuffles (band:int, bucket:int64, id) rows.
-    Output distinct (id_a, id_b), id_a < id_b."""
+    """(id, band:int, bucket:int64) LSH band table via ONE posexplode
+    over an in-row array of band hashes. The r6 form unioned ``bands``
+    SELECTs of the signature table, so every band branch (and every
+    join side consuming the union) re-evaluated the whole signature
+    aggregation — profiled at sf1.0, 8 near-identical ~8.5 s stages
+    (4 bands × 2 join sides) re-running the groupBy from the persisted
+    shingle index. The explode keeps a single evaluation and no union."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
@@ -425,27 +428,37 @@ def minhash_lsh_candidates(
             bucket = md5i64(F.concat_ws("|", *[c.cast("string") for c in cols]))
         else:
             bucket = F.xxhash64(*cols)
-        per_band.append(
-            signatures.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                bucket.alias("bucket"),
-            )
-        )
-    buckets = per_band[0]
-    for p in per_band[1:]:
-        buckets = buckets.unionByName(p)
-    a = buckets.select("band", "bucket", F.col("id").alias("id_a"))
-    b_ = buckets.select("band", "bucket", F.col("id").alias("id_b"))
-    # merge join: no broadcast of the misestimated banded table, and a
-    # spillable build side — shuffle_hash was faster on mid-size corpora
-    # (1.65s -> 1.21s at 1.6M banded rows) but hard-OOMs once a
-    # partition's build map outgrows task memory (see jaccard_pairs)
+        per_band.append(bucket)
+    return signatures.select(
+        "id", F.posexplode(F.array(*per_band)).alias("band", "bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int, bands: int, hash_fn: str = "md5"
+) -> DataFrame:
+    """Band the signature (rows-per-band = num_hashes/bands); docs whose
+    band hashes collide are candidates. Candidates come from grouped
+    posting-list combinations — groupBy(band, bucket) → sorted id array
+    → chained explodes — one shuffle of (id, band, bucket) rows and
+    C(|bucket|,2) generated pairs, instead of the r6 banded merge
+    self-join (two shuffles + sorts, |bucket|² ordered pairs before the
+    filter). Output distinct (id_a, id_b), id_a < id_b."""
+    grp = (
+        band_buckets(signatures, num_hashes, bands, hash_fn)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.hint("merge").join(b_, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        grp.select("ids", F.posexplode("ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()  # a pair may collide in several bands
     )
 
 

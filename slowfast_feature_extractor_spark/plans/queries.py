@@ -5442,9 +5442,14 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("CAST(array() AS array<long>)"))
         .alias("hs"),
     )
+    from pyspark import StorageLevel
+
+    # TWO consumers (corpus-wide duplicate-gram counts and the per-doc
+    # covered-start sets): persist so the 8-gram md5 projection and the
+    # explode run once per execution instead of twice
     grams = h.select(
         "doc_id", F.posexplode_outer("hs").alias("pos", "g")
-    ).filter(F.col("g").isNotNull())
+    ).filter(F.col("g").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -5650,9 +5655,14 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = F.array_distinct(
         F.transform(TS.shingles(F.col("text"), 3), DD.md5i64)
     )
+    from pyspark import StorageLevel
+
+    # THREE evaluations otherwise: the train prefilter side, the bloom
+    # build side (an eager bounded job), and the confirm join's test
+    # side — persist so the shingle explode + md5 runs once
     sh = d.select(
         F.col("doc_id").alias("id"), bucket.alias("bk"), F.explode(hashed).alias("shingle")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     train = sh.filter(F.col("bk") < 90).select("id", "shingle")
     test = sh.filter(F.col("bk") >= 95).select("shingle").distinct()
     survivors = bloom_prefilter(train, "shingle", test)
@@ -6025,24 +6035,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is_new is a pure function of the id — derive it on the signature
     # rows instead of joining the corpus back in (the r6 join re-scanned
     # documents and shuffled n rows just to re-attach (doc_id % 10) >= 8)
-    sigs = DD.minhash_signatures(d, num_hashes=_N_MINHASH).withColumn(
-        "is_new", (F.col("id") % 10) >= 8
+    from pyspark import StorageLevel
+
+    # old-side and new-side probes both read the band table; persist the
+    # tiny per-doc signature relation so the shingle explode + salted
+    # hashing runs once per execution
+    sigs = (
+        DD.minhash_signatures(d, num_hashes=_N_MINHASH)
+        .withColumn("is_new", (F.col("id") % 10) >= 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rows = _N_MINHASH // _N_BANDS
-    per_band = []
-    for b in range(_N_BANDS):
-        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        per_band.append(
-            sigs.select(
-                "id",
-                "is_new",
-                F.lit(b).alias("band"),
-                DD.md5i64(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    buckets = per_band[0]
-    for p in per_band[1:]:
-        buckets = buckets.unionByName(p)
+    buckets = _band_bucket_table(sigs, extra_cols=("is_new",))
     old_b = buckets.filter(~F.col("is_new")).select("band", "bucket").distinct()
     near = (
         buckets.filter("is_new")
@@ -6105,23 +6108,18 @@ FROM k WHERE k.is_new
 
 def _band_bucket_table(sigs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, mh0..mhN) signatures → (id, band, bucket int64) — the LSH
-    band table both incremental variants probe."""
+    band table both incremental variants probe. One posexplode over an
+    in-row band-hash array: the r6 union of per-band SELECTs made every
+    consumer re-evaluate the signature aggregation once per band
+    (operators/dedup.band_buckets has the measured profile)."""
     rows = _N_MINHASH // _N_BANDS
     per_band = []
     for b in range(_N_BANDS):
         cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        per_band.append(
-            sigs.select(
-                "id",
-                *extra_cols,
-                F.lit(b).alias("band"),
-                DD.md5i64(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out
+        per_band.append(DD.md5i64(F.concat_ws("|", *cols)))
+    return sigs.select(
+        "id", *extra_cols, F.posexplode(F.array(*per_band)).alias("band", "bucket")
+    )
 
 
 def incremental_index_dir(sf_dir: str) -> str:

@@ -53,22 +53,17 @@ def test_asof_is_single_shuffle(spark):
     assert "Window" in plan
 
 
-def test_inverted_index_joins_never_broadcast_big_side(spark):
-    """The exploded shingle index must not be a broadcast build side
-    (misestimation caused 5x run-to-run variance)."""
-    plan = _plan(REGISTRY["dedup_minhash_lsh"][0](spark, SF_TINY))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-
-
-def test_jaccard_pairs_are_joinless_combinations(spark):
-    """r7: all-pairs candidate generation is a grouped posting-list
-    expansion (Generate over sorted id arrays) — the shingle index is
-    never self-JOINED at all, so no join strategy can broadcast it."""
-    plan = _plan(REGISTRY["dedup_jaccard"][0](spark, SF_TINY))
+@pytest.mark.parametrize("name", ["dedup_jaccard", "dedup_minhash_lsh"])
+def test_pair_candidates_are_joinless_combinations(spark, name):
+    """r7: candidate generation (shared-shingle pairs / LSH band
+    collisions) is a grouped posting-list expansion — Generate over
+    sorted id arrays — so the exploded index is never self-JOINED and no
+    join strategy can broadcast a misestimated big side (the r6 hazard:
+    5x run-to-run variance when AQE broadcast the banded table)."""
+    plan = _plan(REGISTRY[name][0](spark, SF_TINY))
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
-    # the only joins left attach the small per-doc size relation
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_simhash_pairs_no_cross_join(spark):
