@@ -5848,6 +5848,8 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles it, or salt the top-k words. Output: (doc_id, n_tokens,
     avg_logp) with avg_logp = (Σ log10 cnt(w) − n·log10 N) / n."""
     d = _docs(spark, sf_dir)
+    # persist was A/B-tested here and REVERTED: caching the 5M-row token
+    # stream costs more than recomputing the cheap split+explode
     toks = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
     model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("long").alias("tot"))
@@ -5939,6 +5941,11 @@ def q_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "is_tgt", (DD.md5i64(F.col("g")) % B).alias("bucket"))
+    from pyspark import StorageLevel
+
+    # LM fit and scoring join both read the hashed gram stream — persist
+    # so the unigram+bigram explode and md5 run once per execution
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     m = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("cnt_t"),
         F.sum(F.when(~F.col("is_tgt"), 1).otherwise(0)).alias("cnt_r"),
