@@ -13,11 +13,13 @@ ending inside chunk k can reach back at most ``slow_rows`` rows, so it
 is fully determined by the last ``slow_rows`` rows before the chunk.
 Those carry rows are computed from per-chunk *tails* (the last
 ``slow_rows`` rows of each chunk — a distributed window over
-(entity, chunk)) folded sequentially per entity in ``applyInPandas``:
-the sequential work shrinks from O(rows-per-entity) to
-O(chunks × slow_rows) — tails only, never the full history. Unbounded
-aggregates (``n_hist_rows``) come from a per-chunk prefix-count table
-(cumsum over the tiny (entity, chunk, count) relation).
+(entity, chunk)) sliced per chunk from a per-entity sorted tail array —
+pure whole-stage-codegen expressions (r7; the r6 pandas fold shipped
+every tail row through Python): the per-entity work is
+O(chunks² × slow_rows) array element ops over tails only, never the
+full history. Unbounded aggregates (``n_hist_rows``) come from a
+per-chunk prefix-count table (cumsum over the tiny
+(entity, chunk, count) relation).
 
 Equality with the single-partition operator is exact and tested
 (tests/test_skew.py): same columns, same values, any chunking.
