@@ -309,6 +309,11 @@ def containment_pairs(
     inter, sizes = _pair_intersections(
         shingle_table(df, id_col, text_col, n, hash_fn), max_shingle_df
     )
+    # NOTE (r7, measured): filtering INSIDE the 2-array before the
+    # explode looks like it should save materializing 2 rows/pair, but
+    # ran ~2× SLOWER interleaved-A/B'd at sf1.0 (27–38 s vs 12–16 s):
+    # the higher-order ArrayFilter drops the projection out of
+    # whole-stage codegen. Explode-then-filter stays.
     both = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
