@@ -313,10 +313,20 @@ def containment_pairs(
     # explode looks like it should save materializing 2 rows/pair, but
     # ran ~2× SLOWER interleaved-A/B'd at sf1.0 (27–38 s vs 12–16 s):
     # the higher-order ArrayFilter drops the projection out of
-    # whole-stage codegen. Explode-then-filter stays.
+    # whole-stage codegen. Explode-then-filter stays — but a PLAIN
+    # pre-filter on the aggregated pair row (below) is codegen-friendly:
+    # a pair can pass in SOME direction only if inter/least(sz) clears
+    # the threshold, so pairs failing that (the vast majority at 0.5)
+    # never materialize the 2-struct array or its explode. The 1e-6
+    # slack over-admits at the round(…, 6) boundary; the exact rounded
+    # filter after the explode is unchanged, so the output is identical.
     both = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            >= (F.lit(threshold) - F.lit(1e-6)) * F.least("sz_a", "sz_b")
+        )
         .select(
             F.explode(
                 F.array(

@@ -7866,8 +7866,13 @@ def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     only survivable posture when some shard of 10^12 rows always
     carries torn payloads). Per event_type: parse accounting + exact
     integer stats over the extracted field. Map-only until one
-    map-side-combinable groupBy on a tiny key domain."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    map-side-combinable groupBy on a tiny key domain.
+
+    The scan is parallelize_scan-wrapped (r7): from_json at ~3 us/row
+    is the dominant cost and on the single-split fixture it ran inside
+    the ONE scan task — JsonToStructs partial-aggregated 1M rows on one
+    core while 31 idled (measured 5.2 s -> 0.6 s at the sf1.0 proxy)."""
+    ev = parallelize_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     mangled = F.when(
         F.col("event_id") % 17 == 0, F.concat(F.lit("{bad:"), F.col("props"))
     ).otherwise(F.col("props"))

@@ -74,6 +74,25 @@ def test_containment_directions_from_one_count(docs):
     assert out[(3, 1)] == pytest.approx(0.75, abs=1e-6)
 
 
+def test_containment_prefilter_round_boundary(spark):
+    """The r7 pre-filter (inter >= (t - 1e-6) * least(sz)) must ADMIT a
+    pair whose raw ratio is just below the threshold but whose 6dp
+    rounding equals it: containment = round(5/12, 6) = 0.416667 passes
+    t = 0.416667 even though 5/12 = 0.41666… < t raw. A slack-free
+    pre-filter would drop the pair before the explode."""
+    w = "w1 w2 w3 w4 w5 w6 w7"  # shared 7-token run -> 5 shared shingles
+    src = w + " u1 u2 u3 u4 u5 u6 u7"  # 14 tokens -> 12 distinct shingles
+    dst = "x1 x2 " + w + " x3 x4 x5 x6 x7 x8 x9"
+    df = spark.createDataFrame(
+        [(1, src), (2, dst)], schema="doc_id long, text string"
+    )
+    out = {
+        (r.id_src, r.id_dst): r.containment
+        for r in DD.containment_pairs(df, threshold=0.416667).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(0.416667, abs=1e-9)
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     out = {(r.id_a, r.id_b): r.jaccard for r in
            DD.minhash_lsh_dedup(docs, num_hashes=8, bands=4, threshold=0.3).collect()}
