@@ -571,8 +571,14 @@ def q_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2 over the remaining dimension tables (part, supplier): fact
     ⨝ three broadcast dims → grouped exact-cents revenue rollup
     (TPC-H-Q9-shaped). Dims broadcast explicitly — the plan a 100-TB
-    lineitem needs (no shuffle of the fact side)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem needs (no shuffle of the fact side). The fact scan is
+    parallelize_scan(barrier=False)-wrapped (r7): the fixture file scans
+    as ~6 row-group splits, so the three BHJ probes + the partial agg
+    ran on 6 of 32 cores; the barrierless repartition spreads them while
+    leaving predicate pushdown at the scan."""
+    li = parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), barrier=False
+    )
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")

@@ -28,7 +28,7 @@ TABLE_NAMES = (
 )
 
 
-def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+def parallelize_scan(df: DataFrame, factor: int = 1, barrier: bool = True) -> DataFrame:
     """Guard against pathological single-split scans.
 
     At production scale inputs are thousands of parquet files and the
@@ -49,7 +49,16 @@ def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
     (ceil(Σ(size + openCost) / maxSplitBytes)) and skip the probe only
     when THAT clears the threshold; when they are not stat-able (object
     store), fall back to the file-count gate so production scans never
-    pay the RDD conversion."""
+    pay the RDD conversion.
+
+    ``barrier=False`` (r7) skips the pushdown barrier: right for tables
+    whose predicates are CHEAP and selective enough that keeping them
+    pushed at the scan (parquet stats pruning, fewer shuffled rows)
+    beats evaluating them on all cores — lineitem/events-style
+    relational scans feeding a partial aggregate or broadcast-join
+    probe. The repartition still spreads everything above the scan
+    (the partial agg, the BHJ probes) across the cluster; only
+    text-predicate scans (``_docs``/``_emb``) need the barrier."""
     sc = df.sparkSession.sparkContext
     conf = df.sparkSession.conf
     target = sc.defaultParallelism * factor
@@ -77,7 +86,8 @@ def parallelize_scan(df: DataFrame, factor: int = 1) -> DataFrame:
         # cross a nondeterministic condition — while costing one integer
         # compare per row; column pruning is attribute-based and still
         # reaches the scan through it.
-        return df.repartition(target).where(F.spark_partition_id() >= 0)
+        rep = df.repartition(target)
+        return rep.where(F.spark_partition_id() >= 0) if barrier else rep
     return df
 
 
