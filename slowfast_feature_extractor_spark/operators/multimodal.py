@@ -46,6 +46,7 @@ batching, UDF signature, partitioning) is exercised by
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -487,6 +488,30 @@ def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _jpeg_encoder_tables(symbols: tuple, length: int):
+    """(bits, vals, symbol->(code,len)) for one canonical encoder
+    alphabet, memoized: the encoders rebuilt these per FRAME (250k
+    rebuilds across the video row at sf1.0 — ~30% of synth CPU, r7).
+    bits/vals returned as tuples so cached state stays immutable."""
+    bits, vals = _jpeg_huff_spec(list(symbols), length)
+    return tuple(bits), tuple(vals), _jpeg_huff_codes(bits, vals)
+
+
+@functools.lru_cache(maxsize=256)
+def _jpeg_decode_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """(len, code) -> symbol decode table for one DHT definition,
+    memoized on the raw table bytes: a corpus's images overwhelmingly
+    share a handful of Huffman tables (every libjpeg-default encoder
+    emits the same two), and profiling the video row showed the
+    canonical-code rebuild at ~15% of decode CPU when rebuilt per
+    image (r7). Pure function of its arguments; cache capped far above
+    any real table diversity per task."""
+    codes = _jpeg_huff_codes(list(bits), list(vals))
+    return {(ln, code): sym for sym, (code, ln) in codes.items()}
+
+
+@functools.lru_cache(maxsize=None)
 def _idct_matrix():
     import numpy as np
 
@@ -494,6 +519,7 @@ def _idct_matrix():
     x = np.arange(8).reshape(1, 8)
     a = np.cos((2 * x + 1) * u * np.pi / 16) / 2
     a[0, :] /= np.sqrt(2.0)
+    a.setflags(write=False)  # cached: guard against aliasing mutation
     return a  # pixels = A.T @ coefs @ A
 
 
@@ -869,9 +895,8 @@ def decode_jpeg(data: bytes):
                 tc, th = seg[i] >> 4, seg[i] & 15
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + nv])
-                codes = _jpeg_huff_codes(bits, vals)
-                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                vals = seg[i + 17 : i + 17 + nv]
+                huff[(tc, th)] = _jpeg_decode_table(bytes(seg[i + 1 : i + 17]), bytes(vals))
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", seg, 0)[0]
@@ -1041,10 +1066,8 @@ def synth_jpeg(
 
     if width % 8 or height % 8:
         raise ValueError("synth_jpeg needs multiple-of-8 dimensions")
-    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
-    ac_bits, ac_vals = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
-    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
-    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+    dc_bits, dc_vals, dc_codes = _jpeg_encoder_tables(tuple(range(12)), 4)
+    ac_bits, ac_vals, ac_codes = _jpeg_encoder_tables(tuple(_JPEG_AC_SYMBOLS), 8)
 
     out = bytearray(b"\xff\xd8")
 
@@ -1191,10 +1214,8 @@ def synth_jpeg_subsampled(
         raise ValueError(
             f"synth_jpeg_subsampled({sampling}) needs {8*hy}x{8*vy}-multiple dims"
         )
-    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
-    ac_bits, ac_vals = _jpeg_huff_spec(_JPEG_AC_SYMBOLS, 8)
-    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
-    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+    dc_bits, dc_vals, dc_codes = _jpeg_encoder_tables(tuple(range(12)), 4)
+    ac_bits, ac_vals, ac_codes = _jpeg_encoder_tables(tuple(_JPEG_AC_SYMBOLS), 8)
 
     out = bytearray(b"\xff\xd8")
 
@@ -1291,12 +1312,10 @@ def synth_jpeg_progressive(
 
     if width % 8 or height % 8:
         raise ValueError("synth_jpeg_progressive needs multiple-of-8 dimensions")
-    dc_bits, dc_vals = _jpeg_huff_spec(list(range(12)), 4)
+    dc_bits, dc_vals, dc_codes = _jpeg_encoder_tables(tuple(range(12)), 4)
     # progressive AC alphabet adds EOBn (r<<4, r<15) to run/size + ZRL
-    ac_syms = [(r << 4) | s for r in range(16) for s in range(0, 11)]
-    ac_bits, ac_vals = _jpeg_huff_spec(ac_syms, 8)
-    dc_codes = _jpeg_huff_codes(dc_bits, dc_vals)
-    ac_codes = _jpeg_huff_codes(ac_bits, ac_vals)
+    ac_syms = tuple((r << 4) | s for r in range(16) for s in range(0, 11))
+    ac_bits, ac_vals, ac_codes = _jpeg_encoder_tables(ac_syms, 8)
 
     ncomp = 1 if gray else 3
     bw, bh = width // 8, height // 8
@@ -2544,8 +2563,7 @@ def synth_jpeg_lossless(
     analytically."""
     import struct
 
-    dc_bits, dc_vals = _jpeg_huff_spec(list(range(17)), 5)
-    codes = _jpeg_huff_codes(dc_bits, dc_vals)
+    dc_bits, dc_vals, codes = _jpeg_encoder_tables(tuple(range(17)), 5)
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, payload: bytes) -> None:
