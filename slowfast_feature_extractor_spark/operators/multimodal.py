@@ -103,20 +103,25 @@ def _png_unfilter(raw: bytes, offset: int, height: int, stride: int, fbpp: int):
         elif ft == 2:  # Up
             recon = (line + prior) & 255
         elif ft == 3:  # Average
-            recon = line.copy()
+            # in-row dependency -> sequential; plain-int list ops beat
+            # numpy scalar indexing ~4x here (profiled r7: the two
+            # dependent filters were 58% of PNG decode CPU)
+            rl, pl = line.tolist(), prior.tolist()
             for x in range(stride):
-                left = recon[x - fbpp] if x >= fbpp else 0
-                recon[x] = (recon[x] + ((left + prior[x]) >> 1)) & 255
+                left = rl[x - fbpp] if x >= fbpp else 0
+                rl[x] = (rl[x] + ((left + pl[x]) >> 1)) & 255
+            recon = np.asarray(rl, dtype=np.int32)
         elif ft == 4:  # Paeth
-            recon = line.copy()
+            rl, pl = line.tolist(), prior.tolist()
             for x in range(stride):
-                a = int(recon[x - fbpp]) if x >= fbpp else 0
-                b = int(prior[x])
-                c = int(prior[x - fbpp]) if x >= fbpp else 0
+                a = rl[x - fbpp] if x >= fbpp else 0
+                b = pl[x]
+                c = pl[x - fbpp] if x >= fbpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (recon[x] + pred) & 255
+                rl[x] = (rl[x] + pred) & 255
+            recon = np.asarray(rl, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = recon.astype(np.uint8)
