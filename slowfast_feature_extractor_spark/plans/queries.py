@@ -5370,7 +5370,11 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
     odir = tempfile.mkdtemp(prefix="sfe_orc_")
-    d.write.mode("overwrite").partitionBy("source").orc(odir)
+    # One file per partition value (guide §6): writing from the 32-way
+    # scan produced 32 tasks x 5 sources = 160 tiny files whose commit
+    # renames dominated the wall; clustering by the partition column
+    # first writes 5 right-sized files and the read-back lists 5.
+    d.repartition("source").write.mode("overwrite").partitionBy("source").orc(odir)
     o = (
         spark.read.orc(odir)
         .filter((F.col("source") != "src0") & (F.col("n_chars") >= 100))
@@ -6872,10 +6876,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(wdir).replace("sfe_bucketed_", "")
     fact, dim = f"sfe_bkt_fact_{tag}", f"sfe_bkt_dim_{tag}"
     cents = F.round(F.col("value") * 100).cast("long")
+    # Pre-cluster each side into its 8 buckets (guide §6/§2.6): the
+    # fact otherwise bucket-sorts 1M rows inside the ONE single-split
+    # scan task (serial write), and the dim's 32 post-agg partitions
+    # each spill up to 8 bucket files (up to 256 tiny files). With
+    # repartition(8, user_id) — the same murmur3 hash bucketBy uses —
+    # every task holds exactly one bucket: 8 parallel sorted writes,
+    # 8 files per table, and the join/groupBy read layout is unchanged
+    # (the returned plan stays exchange-free, mechanically asserted).
     for name, df in (
-        (fact, ev.select("user_id", "event_type", cents.alias("cents"))),
+        (fact, ev.select("user_id", "event_type", cents.alias("cents"))
+            .repartition(8, "user_id")),
         (dim, ev.groupBy("user_id").agg(
-            F.countDistinct("event_type").alias("n_types"))),
+            F.countDistinct("event_type").alias("n_types"))
+            .repartition(8, "user_id")),
     ):
         (
             df.write.mode("overwrite")
