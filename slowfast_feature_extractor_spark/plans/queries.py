@@ -2116,6 +2116,17 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     amps = [3000, 4500, 6000, 9000]
 
     def _synth(it):
+        import numpy as np
+
+        # numpy tone synthesis (r7): the listcomp made 2*1024 math.sin
+        # calls per doc — ~100M at sf1.0, the row's dominant CPU.
+        # Output-safe: the refactored argument/libm path perturbs a
+        # sample by O(1e-12) relative (both roundings half-even), while
+        # every emitted value (argmax bins over thousands-wide
+        # magnitude gaps, integer dom_ratio_pct with a planted >=0.17
+        # margin) tolerates the full int16 quantization floor — orders
+        # of magnitude coarser. Oracle replay confirms at both SFs.
+        t = np.arange(n, dtype=np.float64)
         for pdf in it:
             out = {"doc_id": [], "audio": []}
             for doc_id in pdf["doc_id"]:
@@ -2123,17 +2134,12 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b1 = 20 + doc_id % 200
                 b2 = 250 + doc_id % 150
                 a2 = amps[doc_id % 4]
-                frames = [
-                    int(
-                        round(
-                            12000.0 * math.sin(2 * math.pi * b1 * t / n)
-                            + a2 * math.sin(2 * math.pi * b2 * t / n)
-                        )
-                    )
-                    for t in range(n)
-                ]
+                wave = np.rint(
+                    12000.0 * np.sin((2 * math.pi * b1 / n) * t)
+                    + a2 * np.sin((2 * math.pi * b2 / n) * t)
+                ).astype(np.int64)
                 out["doc_id"].append(doc_id)
-                out["audio"].append(synth_wav(16000, 1, frames))
+                out["audio"].append(synth_wav(16000, 1, wave.tolist()))
             yield pd.DataFrame(out)
 
     wav = d.mapInPandas(_synth, "doc_id long, audio binary")
