@@ -577,7 +577,9 @@ def q_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ran on 6 of 32 cores; the barrierless repartition spreads them while
     leaving predicate pushdown at the scan."""
     li = parallelize_scan(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), barrier=False
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        barrier=False,
+        min_bytes=64 << 20,
     )
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")

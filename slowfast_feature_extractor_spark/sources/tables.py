@@ -28,7 +28,12 @@ TABLE_NAMES = (
 )
 
 
-def parallelize_scan(df: DataFrame, factor: int = 1, barrier: bool = True) -> DataFrame:
+def parallelize_scan(
+    df: DataFrame,
+    factor: int = 1,
+    barrier: bool = True,
+    min_bytes: int = 0,
+) -> DataFrame:
     """Guard against pathological single-split scans.
 
     At production scale inputs are thousands of parquet files and the
@@ -58,7 +63,19 @@ def parallelize_scan(df: DataFrame, factor: int = 1, barrier: bool = True) -> Da
     relational scans feeding a partial aggregate or broadcast-join
     probe. The repartition still spreads everything above the scan
     (the partial agg, the BHJ probes) across the cluster; only
-    text-predicate scans (``_docs``/``_emb``) need the barrier."""
+    text-predicate scans (``_docs``/``_emb``) need the barrier.
+
+    ``min_bytes`` (r7): skip the repartition entirely when the
+    stat-able input is smaller than this. The exchange has a fixed
+    cost (serialize + write + read every row), so spreading only pays
+    once the downstream per-row work over the scanned volume clearly
+    exceeds it — measured on the broadcast-probe shape: 600 k rows
+    REGRESSED 0.79→1.59 s under the repartition while 6 M rows
+    improved 2.98→1.90 s. Callers with cheap-per-row downstream work
+    should pass a floor (64 MB here ≈ several real splits' worth);
+    expensive-per-row callers (text predicates, from_json) keep the
+    default 0. Unstat-able inputs skip the gate — at object-store
+    scale the input is never this small."""
     sc = df.sparkSession.sparkContext
     conf = df.sparkSession.conf
     target = sc.defaultParallelism * factor
@@ -68,6 +85,10 @@ def parallelize_scan(df: DataFrame, factor: int = 1, barrier: bool = True) -> Da
         if len(files) >= threshold:
             est = _estimated_splits(files, conf)
             if est is None or est >= threshold:
+                return df
+        if min_bytes > 0:
+            total = _total_bytes(files)
+            if total is not None and total < min_bytes:
                 return df
     except Exception:
         pass  # non-file source: fall through to the partition probe
@@ -106,6 +127,21 @@ def _estimated_splits(files: list[str], conf) -> int | None:
         except OSError:
             return None
     return max(1, math.ceil(total / max_split))
+
+
+def _total_bytes(files: list[str]) -> int | None:
+    """Sum of stat-able local file sizes; None when any path is not a
+    local file (the min_bytes gate then stays out of the way)."""
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f if f.startswith("/") else None
+        if path is None:
+            return None
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
 
 
 def _bytes_conf(conf, key: str, default: int) -> int:
