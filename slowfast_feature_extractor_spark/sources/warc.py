@@ -160,15 +160,35 @@ def parse_shards_gz(shards: DataFrame) -> DataFrame:
         import pandas as pd
 
         sep = (CRLF + CRLF).encode()
+        CHUNK = 1 << 16
         for pdf in it:
             out = {"shard": [], "url": [], "n_bytes": [], "payload_md5": []}
             for shard, blob in zip(pdf["shard"], pdf["blob"]):
                 buf = bytes(blob)
-                while buf:
+                mv = memoryview(buf)
+                pos = 0
+                while pos < len(buf):
+                    # Feed the inflater bounded memoryview slices instead
+                    # of `decompress(buf)` + `buf = do.unused_data`: that
+                    # form COPIES the whole remaining blob once per
+                    # member — O(members x shard bytes), quadratic time
+                    # on a real (GB-scale, 10^4-member) Common Crawl
+                    # shard even though peak memory stays one record.
+                    # Chunked feeding keeps the copy per member bounded
+                    # by CHUNK (unused_data is at most one chunk's tail).
                     do = zlib.decompressobj(wbits=31)
-                    rec = do.decompress(buf)
-                    if not do.eof:
-                        raise ValueError(f"shard {shard}: truncated gzip member")
+                    parts = []
+                    cur = pos
+                    while not do.eof:
+                        if cur >= len(buf):
+                            raise ValueError(
+                                f"shard {shard}: truncated gzip member"
+                            )
+                        chunk = mv[cur : cur + CHUNK]
+                        parts.append(do.decompress(chunk))
+                        cur += len(chunk) - len(do.unused_data)
+                    rec = b"".join(parts)
+                    pos = cur
                     if not rec.startswith(b"WARC/1.0"):
                         raise ValueError(f"shard {shard}: bad record magic in member")
                     hdr_end = rec.index(sep)
@@ -187,7 +207,6 @@ def parse_shards_gz(shards: DataFrame) -> DataFrame:
                     out["url"].append(headers["WARC-Target-URI"])
                     out["n_bytes"].append(n)
                     out["payload_md5"].append(hashlib.md5(payload).hexdigest())
-                    buf = do.unused_data
             yield pd.DataFrame(out)
 
     return shards.mapInPandas(

@@ -526,6 +526,48 @@ def test_warc_gz_roundtrip_and_member_addressability(spark):
     assert rec3.startswith(b"WARC/1.0") and "中文".encode() in rec3
 
 
+def test_warc_gz_member_larger_than_chunk(spark):
+    """The r7 chunked-feed walker (bounded memoryview slices instead of
+    the quadratic `unused_data` re-copy) must still parse a member whose
+    inflated record spans many 64 KiB chunks, and walk past it to later
+    members."""
+    import hashlib
+    import zlib
+
+    from slowfast_feature_extractor_spark.sources import warc as W
+
+    def gz(b):
+        co = zlib.compressobj(level=6, wbits=31)
+        return co.compress(b) + co.flush()
+
+    def rec(url, payload: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + url
+            + b"\r\nContent-Length: "
+            + str(len(payload)).encode()
+            + b"\r\n\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    import os
+
+    big = os.urandom(300_000)  # incompressible: compressed member ≫ 64 KiB
+    blob = gz(rec(b"u/small1", b"x")) + gz(rec(b"u/big", big)) + gz(
+        rec(b"u/small2", b"yz")
+    )
+    got = {
+        r["url"]: r
+        for r in W.parse_shards_gz(
+            spark.createDataFrame([(0, blob)], "shard long, blob binary")
+        ).collect()
+    }
+    assert got["u/big"]["n_bytes"] == 300_000
+    assert got["u/big"]["payload_md5"] == hashlib.md5(big).hexdigest()
+    assert got["u/small1"]["n_bytes"] == 1 and got["u/small2"]["n_bytes"] == 2
+
+
 def test_warc_gz_rejects_bad_framing(spark):
     """Truncated members and non-record members must raise, not resync."""
     import zlib
