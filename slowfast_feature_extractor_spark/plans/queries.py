@@ -4629,12 +4629,22 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.md5i64(F.col("bg.w1")).alias("h1"),
         DD.md5i64(F.col("bg.w2")).alias("h2"),
     )
+    from pyspark import StorageLevel as _SL
+
+    # uni feeds THREE branches (ctx, w2m, tot) and each re-ran the
+    # train-token explode + md5 + count without a persist (differing
+    # parent projections defeat ReusedExchange); the cache is
+    # vocab-sized. An inst persist was A/B-tested and REVERTED: the
+    # fit branch's is_train filter pushes below the md5 projection, so
+    # without the cache it hashes only the 30% train slice — the full
+    # 3-hash stream cache write cost more than that recompute (r7).
     uni = (
         base.filter("is_train")
         .select(F.explode("toks").alias("w"))
         .select(DD.md5i64(F.col("w")).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(_SL.MEMORY_AND_DISK)
     )
     tot = uni.agg(F.sum("cnt").cast("long").alias("tot"))
     big = (
@@ -5869,7 +5879,18 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist was A/B-tested here and REVERTED: caching the 5M-row token
     # stream costs more than recomputing the cheap split+explode
     toks = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
-    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # the model is vocab-sized (tiny) but feeds TWO branches — the
+    # broadcast scoring join and the total-count aggregate — and
+    # differing parent plans defeat ReusedExchange, so without a
+    # persist each branch re-ran the full token explode + count (r7:
+    # one whole corpus pass saved for a vocab-row cache write)
+    from pyspark import StorageLevel as _SL
+
+    model = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(_SL.MEMORY_AND_DISK)
+    )
     tot = model.agg(F.sum("cnt").cast("long").alias("tot"))
     per_doc = (
         toks.join(model, "w")
