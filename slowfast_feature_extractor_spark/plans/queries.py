@@ -4886,6 +4886,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(TS.tokens(F.col("text"))).alias("term")
     )
+    # NOTE (r7, measured): tf/dl multi-consumption re-runs the corpus
+    # tokenize up to 4x, but persisting tf (1.3M-row cache write) and
+    # deriving dl from it measured NEUTRAL in interleaved A/B at the
+    # sf1.0 proxy (2.15-2.80 vs 2.28-2.41 s) — bare split+explode
+    # recompute is cheaper than the cache, the same verdict as the
+    # lm token-stream persist. Left unpersisted.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
