@@ -940,7 +940,14 @@ def tfidf_cosine_pairs(
     b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("w_b"))
     # merge join pinned for the same spill-safety reasons as
     # dedup._pair_intersections (exploded index sides defeat size
-    # estimates; a broadcast build side here hard-OOMs at corpus scale)
+    # estimates; a broadcast build side here hard-OOMs at corpus scale).
+    # NOTE (r7, measured): the grouped posting-list-combinations rewrite
+    # that won for jaccard/containment LOSES here — ~15% slower in
+    # interleaved A/B at both sf0.1 and the sf1.0 proxy (1.79 vs 1.53 s,
+    # 2.43-2.50 vs 2.15-2.17 s). The difference is the payload: jaccard
+    # pairs are two bare int64s, but these pairs carry DECIMAL(38,0)
+    # weights, and collect_list/sort_array/slice over decimal structs
+    # costs more than the merge join streaming the same rows. Kept.
     cross = (
         a.hint("merge").join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
