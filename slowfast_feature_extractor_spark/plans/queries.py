@@ -4629,22 +4629,19 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.md5i64(F.col("bg.w1")).alias("h1"),
         DD.md5i64(F.col("bg.w2")).alias("h2"),
     )
-    from pyspark import StorageLevel as _SL
-
-    # uni feeds THREE branches (ctx, w2m, tot) and each re-ran the
-    # train-token explode + md5 + count without a persist (differing
-    # parent projections defeat ReusedExchange); the cache is
-    # vocab-sized. An inst persist was A/B-tested and REVERTED: the
-    # fit branch's is_train filter pushes below the md5 projection, so
-    # without the cache it hashes only the 30% train slice — the full
-    # 3-hash stream cache write cost more than that recompute (r7).
+    # NOTE (r7, measured then REVERTED): persists here do not pay.
+    # An inst persist loses (the fit branch's is_train filter pushes
+    # below the md5 projection, so its recompute hashes only the 30%
+    # train slice — cheaper than caching the full 3-hash stream), and
+    # a vocab-row uni persist measured within noise across interleaved
+    # A/B rounds (the same verdict as lm_unigram_score's model): the
+    # extra cache/broadcast job costs about one fused corpus pass.
     uni = (
         base.filter("is_train")
         .select(F.explode("toks").alias("w"))
         .select(DD.md5i64(F.col("w")).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(_SL.MEMORY_AND_DISK)
     )
     tot = uni.agg(F.sum("cnt").cast("long").alias("tot"))
     big = (
@@ -5885,18 +5882,15 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist was A/B-tested here and REVERTED: caching the 5M-row token
     # stream costs more than recomputing the cheap split+explode
     toks = d.select("doc_id", F.explode(TS.tokens(F.col("text"))).alias("w"))
-    # the model is vocab-sized (tiny) but feeds TWO branches — the
-    # broadcast scoring join and the total-count aggregate — and
-    # differing parent plans defeat ReusedExchange, so without a
-    # persist each branch re-ran the full token explode + count (r7:
-    # one whole corpus pass saved for a vocab-row cache write)
-    from pyspark import StorageLevel as _SL
-
-    model = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist(_SL.MEMORY_AND_DISK)
-    )
+    # NOTE (r7, measured then REVERTED): the model feeds two branches
+    # (broadcast scoring join + tot) and each re-runs the token
+    # explode+count — but persisting the vocab-row model measured
+    # EQUAL across 5 interleaved A/B rounds at the sf1.0 proxy
+    # (WITH 2.12-2.28 s vs WITHOUT 1.93-2.14 s; one early 1.42-vs-2.31
+    # reading was window luck) and ~0.2 s WORSE at sf0.1: the extra
+    # cache/broadcast job overhead costs about what one fused
+    # explode+partial-count corpus pass costs. Recompute stays.
+    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = model.agg(F.sum("cnt").cast("long").alias("tot"))
     per_doc = (
         toks.join(model, "w")
