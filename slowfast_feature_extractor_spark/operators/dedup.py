@@ -532,48 +532,70 @@ def _verify_candidates(
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs against the
     persisted shingle index ``sh``; shared by the salted-hash and OPH
-    signature paths. Output (id_a, id_b, jaccard >= threshold)."""
+    signature paths. Output (id_a, id_b, jaccard >= threshold).
+
+    Shape (r7, second pass): verification works on PER-DOC shingle
+    arrays, not index rows. One groupBy(id) folds the persisted index
+    into (id, shingles:array<bigint>) — per-doc arrays are bounded by
+    doc length, and the partial collect_list shuffles the same ~8 bytes
+    per shingle the old per-doc ``sizes`` pass already paid. Each
+    candidate pair then probes that table twice and computes
+    |A∩B| with ``array_intersect`` in one codegen projection — the
+    2M+-row index is never re-shuffled, sorted, or joined on
+    (id, shingle), and the per-pair intersection groupBy disappears.
+    The r6→r7a form expanded every candidate's id_a shingles
+    (n_cand × |doc| rows), sort-merge-joined them against the full
+    index, and re-aggregated per pair — profiled at the sf1.0 proxy as
+    the largest steady-state stage of both minhash rows (2.4 s of
+    5.8 s). Arrays are distinct by construction (shingle_table
+    array_distincts per doc), so set-semantics ``array_intersect``
+    counts exactly the shared-shingle rows the old join counted.
+    """
     from pyspark import StorageLevel
 
     cand = cand.persist(StorageLevel.DISK_ONLY)
     n_cand = cand.count()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # Verification never sorts the big index: the candidate set is tiny
-    # relative to the corpus (that is LSH's whole point), so broadcast it
-    # against sh (hash probe, no sort) — BUT only while it actually fits
-    # an executor: a loose threshold or a duplicate-riddled web corpus
-    # can produce hundreds of millions of candidate pairs, and an
-    # unconditional F.broadcast would OOM the driver/executors (r1+r2
-    # flagged exactly this). Past ``broadcast_limit`` rows (~16 bytes
-    # each ⇒ default cap ≈ 32 MB) fall back to the same pinned spillable
-    # merge join the candidate generation uses. The count is free:
-    # cand is persisted and feeds the join either way.
+    docsets = sh.groupBy("id").agg(F.collect_list("shingle").alias("__shs"))
+    # The candidate set is tiny relative to the corpus (that is LSH's
+    # whole point), so broadcast the bare (id_a, id_b) pairs against the
+    # doc-array table (hash probe, no sort) — BUT only while cand
+    # actually fits an executor: a loose threshold or a
+    # duplicate-riddled web corpus can produce hundreds of millions of
+    # candidate pairs, and an unconditional F.broadcast would OOM the
+    # driver/executors (r1+r2 flagged exactly this). Past
+    # ``broadcast_limit`` rows (~16 bytes each ⇒ default cap ≈ 32 MB)
+    # fall back to plain equi-joins keyed on id: both sides stay one
+    # row per doc / per pair, so the joins shuffle array payloads
+    # proportional to the candidate set, never the index. Only the bare
+    # pair table is ever broadcast — the array-carrying sides always
+    # stream. The count is free: cand is persisted and feeds the join
+    # either way.
     if n_cand <= broadcast_limit:
-        a_shingles = sh.join(F.broadcast(cand), sh["id"] == cand["id_a"]).select(
-            "id_a", "id_b", "shingle"
+        a_side = docsets.join(
+            F.broadcast(cand), docsets["id"] == cand["id_a"]
+        ).select("id_a", "id_b", F.col("__shs").alias("__sa"))
+        both = docsets.join(a_side, docsets["id"] == a_side["id_b"]).select(
+            "id_a", "id_b", "__sa", F.col("__shs").alias("__sb")
         )
     else:
-        # candidate-derived sides are too big to broadcast anywhere in
-        # the verification: pin spillable merge joins on BOTH (the
-        # second join's left side is cand × shingles — larger than cand
-        # itself)
-        a_shingles = (
-            sh.hint("merge")
-            .join(cand, sh["id"] == cand["id_a"])
-            .select("id_a", "id_b", "shingle")
+        # pinned spillable merge joins: past the guard nothing may be
+        # broadcast, not even by stats (a counted persisted cand looks
+        # tiny to Catalyst on small inputs but the guard exists for the
+        # corpora where it is not)
+        both = (
+            cand.hint("merge")
+            .join(docsets.withColumnsRenamed({"id": "id_a", "__shs": "__sa"}), "id_a")
             .hint("merge")
+            .join(docsets.withColumnsRenamed({"id": "id_b", "__shs": "__sb"}), "id_b")
         )
-    inter = (
-        a_shingles.join(
-            sh.withColumnsRenamed({"id": "id_b"}),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        both.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("inter"),
+            F.size("__sa").alias("sz_a"),
+            F.size("__sb").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
