@@ -464,6 +464,20 @@ def knn_ivf(
     if not dim_row or not dim_row["d"]:
         raise ValueError("empty corpus")
 
+    if n_probe >= n_cells and quantizer == "kmeans":
+        # Full probe makes the quantizer output-irrelevant: every query
+        # explodes over ALL cell ids and each corpus row lands in
+        # exactly one cell, so the cell equi-join emits every
+        # (query, corpus) pair exactly once WHATEVER the centroids are,
+        # and the final rank orders by (round(sim, 6) desc, id asc) —
+        # fully deterministic, no dependence on cell membership. Fitting
+        # a 10-iteration KMeans (a dozen Spark jobs) to pick partitions
+        # that cannot change a single output row was the dominant wall
+        # of the exact-twin configuration (measured 3.7-13.4 s vs 1.5 s
+        # per run at sf0.1); the seed quantizer's single tiny collect
+        # keeps the identical IVF assign/join machinery in the plan.
+        quantizer = "seed"
+
     if quantizer == "seed":
         rows = (
             corpus.select(id_col, vec_col)
