@@ -460,10 +460,6 @@ def knn_ivf(
     floats order identically across engines."""
     import numpy as np
 
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if not dim_row or not dim_row["d"]:
-        raise ValueError("empty corpus")
-
     if n_probe >= n_cells and quantizer == "kmeans":
         # Full probe makes the quantizer output-irrelevant: every query
         # explodes over ALL cell ids and each corpus row lands in
@@ -478,6 +474,11 @@ def knn_ivf(
         # keeps the identical IVF assign/join machinery in the plan.
         quantizer = "seed"
 
+    # driver-side probes are fused: the seed path's centroid collect
+    # doubles as the emptiness check, so the query plans ONE tiny
+    # TakeOrdered job instead of a dim .first() probe plus a collect —
+    # each probe job costs ~0.3 s of driver latency on a local run and
+    # a full scheduler round-trip on a cluster (guide §5)
     if quantizer == "seed":
         rows = (
             corpus.select(id_col, vec_col)
@@ -485,10 +486,15 @@ def knn_ivf(
             .limit(n_cells)
             .collect()
         )
+        if not rows or not rows[0][vec_col]:
+            raise ValueError("empty corpus")
         centroids = np.stack(
             [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
         )
     elif quantizer == "kmeans":
+        dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if not dim_row or not dim_row["d"]:
+            raise ValueError("empty corpus")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -749,22 +755,29 @@ def knn_ivfpq(
     """
     import numpy as np
 
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if not dim_row or not dim_row["d"]:
-        raise ValueError("empty corpus")
-    dim = int(dim_row["d"])
-    if dim % m_sub:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    sub = dim // m_sub
+    # ONE driver-side probe job serves everything plan-time: the lowest
+    # max(n_codes, n_cells) corpus vectors give the PQ codebooks, the
+    # coarse-quantizer centroids AND the dimensionality/emptiness
+    # checks (the dim .first() and the separate centroid collect each
+    # cost a full probe job — ~0.3 s driver latency apiece locally, a
+    # scheduler round-trip on a cluster; guide §5)
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
-        .limit(n_codes)
+        .limit(max(n_codes, n_cells or 0))
         .collect()
     )
+    if not rows or not rows[0][vec_col]:
+        raise ValueError("empty corpus")
+    dim = len(rows[0][vec_col])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
     if len(rows) < n_codes:
         raise ValueError(f"corpus smaller than n_codes={n_codes}")
-    train = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    train = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows[:n_codes]]
+    )
     books = train.reshape(n_codes, m_sub, sub).transpose(1, 0, 2)  # (M,K,sub)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(books)
@@ -788,14 +801,8 @@ def knn_ivfpq(
 
     cells = None
     if n_cells is not None:
-        cent_rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(n_cells)
-            .collect()
-        )
         cents = np.stack(
-            [np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows]
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows[:n_cells]]
         )
         bc_cells = spark.sparkContext.broadcast(cents)
 
